@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ColSyntax._
+import Tables.t
+
+/** The reference's relational operator inventory (SURVEY.md §2) re-expressed
+  * as declarative Spark plans over the driver test tables.
+  *
+  * Each method cites the reference pattern it reproduces. All are pure
+  * DataFrame plans: Catalyst pushes filters/projections to the parquet scan,
+  * picks broadcast vs shuffle joins, and AQE handles skew — nothing here
+  * collects to the driver, so every plan scales with partition count.
+  */
+object Relational {
+
+  /** Flagship pricing-summary aggregation (shape of the per-language result
+    * summary A3 / frequency aggregations A1; reference
+    * test_wikipedia_page_images.py:133-137). Map-side partial aggregation
+    * makes the single shuffle carry only (group, partials). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** J1/J2 — exclusion anti-join: frontier rows not present in any
+    * earlier-precedence table (wikipedia_crawler.py:71-79, NOT IN chain).
+    * left_anti is semantics-exact because keys are filtered non-null first. */
+  def antiJoinExclusion(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders   = t(spark, dir, "orders")
+    customer
+      .filter($"c_custkey".isNotNull)
+      .join(
+        orders.filter($"o_totalprice" > 400000)
+          .select($"o_custkey".as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** J2 window rewrite — the 20-family precedence chain collapsed to ONE
+    * shuffle: row_number over (key, precedence order) keep-first, replacing
+    * 19 chained NOT IN anti-joins (SURVEY.md §2.3 J2). */
+  def precedenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type")
+  }
+
+  /** J6/W3 — keep-newest-per-key dedup
+    * (migrations/add_unique_section_image_keys.py:115-141): row_number
+    * descending replaces the reference's self-join against MAX(ID_ROW). */
+  def keepLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber".desc, $"l_partkey".desc, $"l_suppkey".desc)
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+  }
+
+  /** A1 — shared-image frequency aggregation
+    * (migrations/clear_shared_main_images.py:78-93):
+    * GROUP BY url, COUNT(DISTINCT id) HAVING cnt >= min ORDER BY cnt DESC. */
+  def freqAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(countDistinct($"l_orderkey").as("cnt"))
+      .filter($"cnt" >= 3)
+
+  /** A2 — duplicate-group count, nested aggregation
+    * (migrations/add_unique_section_image_keys.py:89-112). */
+  def dupGroupCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .agg(count(lit(1)).as("dup_groups"), sum($"c" - 1).as("excess_rows"))
+
+  /** A3 — per-language result summary (test_wikipedia_page_images.py:133-137). */
+  def groupCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+
+  /** A4 — staleness ordering aggregation (README.md:422,
+    * wikipedia_crawler.py:45-69): MAX(updated) per item type, never-crawled
+    * (null) first — drives quick-mode crawl order. */
+  def stalenessOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+
+  /** W4 — top-N reporting (clear_shared_main_images.py:129-132): Spark plans
+    * this as TakeOrderedAndProject — no full sort, no full shuffle. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+
+  /** S1+P1+P2+P3+W1 — the frontier scan pattern: projection+rename, DISTINCT,
+    * validity filter, resume range predicate (wikipedia_crawler.py:86-95).
+    * The range predicate prunes row groups at the parquet scan. */
+  def rangeResume(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter($"o_orderkey".isNotNull && $"o_orderkey" >= 1000)
+      .select($"o_orderkey".as("id"), $"o_custkey")
+      .distinct()
+
+  /** J5 — backfill join (migrations/add_main_image_url_to_page_lang.py:185-195):
+    * aggregate + equi-join + conditional update. The aggregated side is tiny →
+    * broadcast-hash join, zero shuffle of the big side. */
+  def backfillJoin(spark: SparkSession, dir: String): DataFrame = {
+    val minPrice = t(spark, dir, "orders")
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(round(min($"o_totalprice"), 2).as("min_price"))
+    t(spark, dir, "customer")
+      .join(broadcast(minPrice), Seq("c_custkey"), "left")
+      .select(
+        $"c_custkey",
+        round(when($"c_acctbal" < 0, $"min_price").otherwise($"c_acctbal"), 2)
+          .as("backfilled_bal"))
+  }
+
+  /** W2 — display-order assignment (wikipedia_images.py:684-693): dense
+    * 1-based order within each document via row_number. */
+  def displayOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber".asc)
+    t(spark, dir, "lineitem")
+      .withColumn("display_order", row_number().over(w))
+      .select($"l_orderkey", $"l_linenumber", $"display_order")
+  }
+
+  /** P1+F regex battery — Qid-validity shape (ID_WIKIDATA REGEXP '^Q[0-9]+$',
+    * wikipedia_crawler.py:90-91) + extraction, over the events JSON props. */
+  def regexFilterExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter($"props".isNotNull && $"props".rlike("^\\{\"k\": [0-9]+\\}$"))
+      .select($"event_id", regexp_extract($"props", "([0-9]+)", 1).cast("int").as("k"))
+      .filter($"k" >= 50)
+
+  /** F1-F6 — URL/string canonicalization built-ins: space→underscore
+    * (translate), query-string strip (substring_index), namespace strip,
+    * lowercase (wikipedia_images.py:84-88,192-205). */
+  def strCanon(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        $"p_partkey",
+        translate($"p_name", " ", "_").as("name_us"),
+        substring_index($"p_type", " ", 1).as("type_head"),
+        lower($"p_brand").as("brand_lc"))
+
+  /** Hourly windowed aggregation over the events table — the batch twin of
+    * the Structured Streaming tumbling-window aggregation in
+    * graft.streaming (same grouping keys and aggregates). */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+
+  /** DuckDB oracle SQL — one entry per query above, same column names. */
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_anti_join_exclusion" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IS NOT NULL
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    "q_precedence_dedup" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_keep_latest" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_freq_agg" ->
+      """SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt
+        |FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 3""".stripMargin,
+    "q_dup_group_count" ->
+      """SELECT count(*) AS dup_groups, sum(c - 1) AS excess_rows FROM (
+        |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) > 1)""".stripMargin,
+    "q_group_count" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_staleness_order" ->
+      """SELECT event_type, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_range_resume" ->
+      """SELECT DISTINCT o_orderkey AS id, o_custkey FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderkey >= 1000""".stripMargin,
+    "q_backfill_join" ->
+      """SELECT c.c_custkey,
+        |  round(CASE WHEN c.c_acctbal < 0 THEN g.min_price ELSE c.c_acctbal END, 2)
+        |    AS backfilled_bal
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey AS c_custkey, round(min(o_totalprice), 2) AS min_price
+        |  FROM orders GROUP BY o_custkey) g ON c.c_custkey = g.c_custkey""".stripMargin,
+    "q_display_order" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC)
+        |    AS display_order
+        |FROM lineitem""".stripMargin,
+    "q_regex_filter_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+        |FROM events
+        |WHERE props IS NOT NULL AND regexp_full_match(props, '\{"k": [0-9]+\}')
+        |  AND CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) >= 50""".stripMargin,
+    "q_str_canon" ->
+      """SELECT p_partkey, replace(p_name, ' ', '_') AS name_us,
+        |  split_part(p_type, ' ', 1) AS type_head, lower(p_brand) AS brand_lc
+        |FROM part""".stripMargin,
+    "q_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_anti_join_exclusion" -> (antiJoinExclusion _),
+    "q_precedence_dedup" -> (precedenceDedup _),
+    "q_keep_latest" -> (keepLatest _),
+    "q_freq_agg" -> (freqAgg _),
+    "q_dup_group_count" -> (dupGroupCount _),
+    "q_group_count" -> (groupCount _),
+    "q_staleness_order" -> (stalenessOrder _),
+    "q_topk" -> (topK _),
+    "q_range_resume" -> (rangeResume _),
+    "q_backfill_join" -> (backfillJoin _),
+    "q_display_order" -> (displayOrder _),
+    "q_regex_filter_extract" -> (regexFilterExtract _),
+    "q_str_canon" -> (strCanon _),
+    "q_hourly_agg" -> (hourlyAgg _)
+  )
+}
