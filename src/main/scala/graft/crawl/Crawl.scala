@@ -1,0 +1,341 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.canon.UrlCanon
+import graft.model.{Doc, Span}
+import graft.synth.World
+
+/** The Spark-native crawl engine: URL frontier + fetch scheduler
+  * (north rule). One [[tick]] = one scheduling batch end-to-end:
+  *
+  *   frontier scan → Qid filter → canonicalize → precedence dedup (1 window
+  *   shuffle, replacing the reference's 19 chained NOT-IN anti-joins) →
+  *   sitelink fan-out (broadcast join) → robots gate (broadcast join) →
+  *   URL-seen two-phase dedup (Bloom prefilter + exact anti-join: no false
+  *   drops) → per-host salted politeness budget (ranked window selection) →
+  *   fetch+parse (pure fn in mapPartitions) → doc/seen/manifest writes.
+  *
+  * Determinism: selection is a pure ranked filter over a deterministic sort
+  * key, never timing-dependent — so local[8] and local[32] produce
+  * IDENTICAL batch composition and seen-set (SURVEY.md §7.3), and the
+  * single-threaded [[graft.oracle.OracleCrawler]] is an exact twin.
+  *
+  * Scale design (100 TB / 10^10 URLs):
+  *  - the frontier is never collected (reference's fetchall weak point,
+  *    wikipedia_crawler.py:798-799); everything is Dataset ops
+  *  - seen-set is stored hash-bucketed on xxhash64(url) so the per-tick
+  *    anti-join co-partitions instead of reshuffling the full seen table;
+  *    the Bloom prefilter keeps the join's probe side tiny (only suspected
+  *    duplicates reach it)
+  *  - hot hosts (en/fr ≈ 60% of units) are salted into sub-buckets
+  *    (pmod(xxhash64(url), S)) so the politeness window never serializes a
+  *    single reducer on one host; budget splits across buckets with the
+  *    remainder to bucket 0 (SURVEY.md §7.3)
+  *  - per-partition lineage watermarks + counters land in a JSON manifest
+  *    per tick (Iceberg-snapshot stand-in; no Iceberg jars in-sandbox)
+  */
+object Crawl {
+
+  final case class CrawlConfig(
+      seed: Long,
+      nEntities: Long,
+      budgetPerHost: Int,
+      saltBuckets: Int,
+      maxTicks: Int,
+      workDir: String)
+
+  /** One schedulable crawl unit = (entity, language) — the reference's
+    * crawl unit (wikipedia_crawler.py:800). */
+  final case class CrawlUnit(
+      qid: String, lang: String, langRank: Int, family: String,
+      familyRank: Int, pk: String, priority: Int, title: String,
+      url: String, host: String, docId: String, sortKey: String)
+
+  /** Total crawl order: priority desc (9-p), then family precedence, then
+    * pk ASC (the reference's ORDER BY pk), then language order, then qid as
+    * the unique tiebreak — a single lexicographic string so window ordering,
+    * oracle ordering, and manifest watermarks all share one key. */
+  def sortKey(priority: Int, familyRank: Int, pk: String, langRank: Int,
+              qid: String): String =
+    f"${9 - priority}%01d|$familyRank%02d|$pk|$langRank%02d|$qid"
+
+  // ---- candidate generation (deterministic, lazily distributed) -----------
+
+  /** All schedulable units after validity, canonical/precedence/sitelink
+    * dedup and robots gating. Pure function of (seed, nEntities) — never
+    * materialized on the driver. */
+  def candidateUnits(spark: SparkSession, cfg: CrawlConfig): Dataset[CrawlUnit] = {
+    import spark.implicits._
+
+    // S1 frontier scan (synthetic source), P1 Qid-validity filter pushed
+    // to the generator scan
+    val frontier = spark.range(cfg.nEntities)
+      .flatMap(i => World.frontierRows(cfg.seed, i))
+      .filter($"qid".rlike("^Q[0-9]+$"))
+      // canonical URL collapses the ~5% case/fragment/query-order variants
+      .withColumn("curl", UrlCanon.canonCol($"url"))
+      .dropDuplicates("qid", "familyRank", "pk", "curl")
+
+    // J2 precedence dedup — ONE window instead of 19 anti-joins
+    val wPrec = Window.partitionBy($"qid").orderBy($"familyRank".asc, $"pk".asc)
+    val deduped = frontier
+      .withColumn("rn", row_number().over(wPrec))
+      .filter($"rn" === 1)
+      .select($"qid", $"family", $"familyRank", $"pk", $"priority")
+
+    // J3 sitelink lookup join (broadcast build side; deterministic dedup of
+    // colliding qids by min title keeps the join unambiguous)
+    val wSite = Window.partitionBy($"qid", $"lang").orderBy($"title".asc)
+    val sitelinks = spark.range(cfg.nEntities)
+      .flatMap(i => World.sitelinkRows(cfg.seed, i))
+      .withColumn("rn", row_number().over(wSite))
+      .filter($"rn" === 1)
+      .drop("rn")
+
+    val units = deduped
+      .join(broadcast(sitelinks), Seq("qid"), "inner")
+      .withColumn("host", concat($"lang", lit(".wikipedia.org")))
+      .withColumn("url", UrlCanon.canonCol(
+        concat(lit("https://"), $"host", lit("/wiki/"),
+          translate($"title", " ", "_"))))
+      .withColumn("docId", concat($"qid", lit(":"), $"lang"))
+      .withColumn("sortKey", format_string("%01d|%02d|%s|%02d|%s",
+        lit(9) - $"priority", $"familyRank", $"pk", $"langRank", $"qid"))
+
+    // robots gate (C3/F4): tiny rules dimension, broadcast join
+    val robots = robotsDim(spark, cfg.seed)
+    val allowed = units
+      .withColumn("letter", lower(substring($"title", 1, 1)))
+      .join(broadcast(robots), Seq("host", "letter"), "left")
+      .filter(coalesce($"allowed", lit(true)))
+      .drop("letter", "allowed")
+
+    // distinct canonical URL: colliding titles (two qids, same page) keep
+    // the first unit in crawl order — deterministic
+    val wUrl = Window.partitionBy($"url").orderBy($"sortKey".asc)
+    allowed
+      .withColumn("rn", row_number().over(wUrl))
+      .filter($"rn" === 1)
+      .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
+        $"priority", $"title", $"url", $"host", $"docId", $"sortKey")
+      .as[CrawlUnit]
+  }
+
+  /** Robots rules dimension: (host, first-letter) → allowed (FIXTURES.md F4). */
+  def robotsDim(spark: SparkSession, seed: Long): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      lang <- World.langs
+      host = World.hostOf(lang)
+      c <- ('a' to 'z') :+ '_'
+    } yield (host, c.toString, World.robotsAllowed(seed, host, s"/wiki/$c"))
+    rows.toDF("host", "letter", "allowed")
+  }
+
+  // ---- one crawl tick -------------------------------------------------------
+
+  final case class TickResult(
+      tick: Int,
+      scheduled: Long,
+      fetchedOk: Long,
+      parsedDocs: Long,
+      totalSpans: Long,
+      done: Boolean)
+
+  def seenDir(workDir: String) = s"$workDir/seen"
+  def docsDir(workDir: String) = s"$workDir/docs"
+
+  private def seenExists(spark: SparkSession, workDir: String): Boolean =
+    new java.io.File(seenDir(workDir)).exists &&
+      new java.io.File(seenDir(workDir)).listFiles().exists(_.getName.startsWith("tick="))
+
+  def readSeen(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(seenDir(workDir))
+
+  /** Two-phase URL-seen dedup: Bloom prefilter → exact anti-join for the
+    * suspected subset only (no false drops, SURVEY.md §7.3: "seen-set
+    * equality"). Bloom-negatives are PROVABLY new and skip the join. */
+  def filterNew(spark: SparkSession, units: Dataset[CrawlUnit],
+                workDir: String): Dataset[CrawlUnit] = {
+    import spark.implicits._
+    if (!seenExists(spark, workDir)) return units
+    val seen = readSeen(spark, workDir).select($"url")
+    val nSeen = math.max(seen.count(), 1L)
+    val bloom: BloomFilter = seen.stat.bloomFilter("url", nSeen, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val definitelyNew = units.filter(u => !bc.value.mightContainString(u.url))
+    val suspected = units.filter(u => bc.value.mightContainString(u.url))
+    val confirmedNew = suspected.join(seen, Seq("url"), "left_anti").as[CrawlUnit]
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Per-host salted politeness selection: rank within (host, salt bucket)
+    * by the total crawl order; per-bucket budget = B/S with the remainder
+    * to bucket 0. Pure ranked filter — batch composition is independent of
+    * parallelism and timing. */
+  def selectBatch(units: Dataset[CrawlUnit], budgetPerHost: Int,
+                  saltBuckets: Int): DataFrame = {
+    import units.sparkSession.implicits._
+    val s = saltBuckets
+    val perBucket = budgetPerHost / s
+    val remainder = budgetPerHost % s
+    val w = Window.partitionBy($"host", $"salt").orderBy($"sortKey".asc)
+    units
+      .withColumn("salt", pmod(xxhash64($"url"), lit(s)).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= lit(perBucket) + when($"salt" === 0, lit(remainder)).otherwise(lit(0)))
+      .drop("rn")
+  }
+
+  /** Run one tick: schedule → fetch+parse → persist docs + seen + manifest.
+    * Idempotent per tick (doc-level full replacement, M2/M3 semantics):
+    * re-running a tick overwrites the same tick directories byte-equal. */
+  def tick(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int): TickResult = {
+    import spark.implicits._
+
+    val candidates = candidateUnits(spark, cfg)
+    val fresh = filterNew(spark, candidates, cfg.workDir)
+    val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
+      .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
+        $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
+      .cache()
+
+    val scheduledCount = batch.count()
+    if (scheduledCount == 0) {
+      batch.unpersist()
+      return TickResult(tickIdx, 0, 0, 0, 0, done = true)
+    }
+
+    val seed = cfg.seed
+    // fetch+parse on executors; pure fn of the unit → identical at any
+    // parallelism. Repartition by (host, salt) mirrors the politeness
+    // bucketing: one partition per host budget slice (C1/C2 semantics).
+    val parsed = batch
+      .repartition($"host", $"salt")
+      .as[CrawlUnitSalted]
+      .mapPartitions { it =>
+        it.map { u =>
+          val p = Fetcher.fetchParse(seed, u.qid, u.lang, u.title, u.family,
+            u.url, u.host)
+          FetchedRow(
+            p.result.doc_id, u.url, u.host, u.family, u.title, u.sortKey,
+            p.result.httpStatus, p.result.success, p.result.hasContent,
+            p.result.mainImageUrl, p.result.spans,
+            p.sections.map(s => SectionRow(s._1, s._2, s._3)),
+            p.formatLine.getOrElse(""))
+        }
+      }
+      .cache()
+
+    // A5/A6 metrics analogue, computed distributed
+    val m = parsed.agg(
+      count(lit(1)).as("n"),
+      sum(when($"success", 1).otherwise(0)).as("ok"),
+      sum(when($"hasContent", 1).otherwise(0)).as("docs"),
+      sum(size($"spans")).as("spans")).collect()(0)
+
+    // docs table — the input_hint shape (doc_id, spans)
+    parsed.filter($"hasContent")
+      .select($"doc_id", $"spans")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${docsDir(cfg.workDir)}/tick=$tickIdx")
+
+    // page metadata (M1 analogue: title/url/status/main image, keyed doc_id)
+    parsed
+      .select($"doc_id", $"title", $"url", $"host", $"family", $"sortKey",
+        $"httpStatus", $"success", $"hasContent", $"mainImageUrl",
+        $"sections", $"formatLine")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
+
+    // seen append (url + xxhash64 key for bucketing/Bloom)
+    batch.select($"url", xxhash64($"url").as("urlHash"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
+
+    // manifest: per-(host,salt)-partition lineage watermarks + counters (M7)
+    val watermarks = batch.groupBy($"host", $"salt")
+      .agg(max($"sortKey").as("wm"))
+      .collect()
+      .map(r => s""""${r.getString(0)}#${r.getInt(1)}": "${r.getString(2)}"""")
+      .sorted.mkString(",\n    ")
+    val manifest =
+      s"""{
+         |  "snapshotId": ${cfg.seed ^ tickIdx},
+         |  "tick": $tickIdx,
+         |  "counters": {"scheduled": $scheduledCount, "fetchedOk": ${m.getLong(1)},
+         |               "parsedDocs": ${m.getLong(2)}, "spans": ${m.getLong(3)}},
+         |  "watermarks": {
+         |    $watermarks
+         |  }
+         |}""".stripMargin
+    val mdir = new java.io.File(s"${cfg.workDir}/manifests")
+    mdir.mkdirs()
+    // atomic rename (M7: checkpoint advances only after the batch persists)
+    val tmp = new java.io.File(mdir, s".manifest_$tickIdx.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, manifest)
+    tmp.renameTo(new java.io.File(mdir, s"manifest_$tickIdx.json"))
+
+    val res = TickResult(tickIdx, scheduledCount, m.getLong(1), m.getLong(2),
+      m.getLong(3), done = false)
+    parsed.unpersist()
+    batch.unpersist()
+    res
+  }
+
+  /** Resume point: ticks already fully persisted (manifest present). */
+  def completedTicks(workDir: String): Int = {
+    val mdir = new java.io.File(s"$workDir/manifests")
+    if (!mdir.exists) 0
+    else mdir.listFiles().map(_.getName)
+      .collect { case s if s.matches("manifest_\\d+\\.json") =>
+        s.stripPrefix("manifest_").stripSuffix(".json").toInt }
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Run the crawl to completion (or maxTicks), resuming from the last
+    * persisted manifest — the M7 protocol: the seen table is the state,
+    * manifests are the watermark lineage. */
+  def run(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
+    val start = completedTicks(cfg.workDir)
+    val out = Vector.newBuilder[TickResult]
+    var i = start
+    var done = false
+    while (i < cfg.maxTicks && !done) {
+      val r = tick(spark, cfg, i)
+      done = r.done
+      if (!r.done) out += r
+      i += 1
+    }
+    out.result()
+  }
+
+  /** The consolidated docs view: latest tick wins per doc_id (keep-newest
+    * W3; makes re-crawl with fewer spans an implicit tail-prune, M2/M3). */
+  def docsView(spark: SparkSession, workDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"tick".desc)
+    spark.read.parquet(docsDir(workDir))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"spans")
+      .as[Doc]
+  }
+
+  final case class CrawlUnitSalted(
+      qid: String, lang: String, langRank: Int, family: String,
+      familyRank: Int, pk: String, priority: Int, title: String,
+      url: String, host: String, docId: String, sortKey: String, salt: Int)
+
+  final case class SectionRow(display_order: Int, title: String, content: String)
+
+  final case class FetchedRow(
+      doc_id: String, url: String, host: String, family: String,
+      title: String, sortKey: String, httpStatus: Int, success: Boolean,
+      hasContent: Boolean, mainImageUrl: String, spans: Seq[Span],
+      sections: Seq[SectionRow], formatLine: String)
+}

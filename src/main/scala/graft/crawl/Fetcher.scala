@@ -1,0 +1,85 @@
+package graft.crawl
+
+import graft.model.{FetchResult, Span}
+import graft.parse.{SectionParser, UiChrome}
+import graft.synth.World
+
+/** The per-(entity, language) fetch+parse worker — pure function twin of
+  * `f_fetchlangpayload` (wikipedia_page_writer.py:65-190). Runs inside
+  * `mapPartitions` on executors; in synthetic mode the "network" is the
+  * deterministic page-plan lookup, so N-vs-4N runs observe identical pages.
+  *
+  * Semantics reproduced:
+  *  - retry policy (C4/C5): up to [[maxRetries]] attempts on transient 503;
+  *    success only if a 200 lands within the budget
+  *    (wikipedia_http.py:62-72, wikipedia_crawler_helpers.py:29-50)
+  *  - lead image accepted only when not UI chrome; NO first-page-image
+  *    fallback; absent lead ⇒ no main image (WIKIPEDIA-CRAWLER-019,
+  *    wikipedia_page_writer.py:93-106, 240-259)
+  *  - chrome gallery files dropped BEFORE enumeration numbering
+  *    (wikipedia_images.py:336-337), display_order = 1-based position in
+  *    the filtered list (wikipedia_images.py:684-693)
+  *  - sections via [[SectionParser]] with writer post-processing
+  *    ([edit] strip, 300-char title truncation)
+  *  - spans = section stream then image stream, each with its own dense
+  *    1-based offset; kind carries the interleaving (input_hint mapping,
+  *    SURVEY.md §1.3)
+  */
+object Fetcher {
+
+  val maxRetries = 3
+
+  final case class ParsedPage(
+      result: FetchResult,
+      sections: Seq[(Int, String, String)], // (display_order, title, content)
+      formatLine: Option[String])           // M6 writeback (movie/fr only)
+
+  def fetchParse(seed: Long, qid: String, lang: String, title: String,
+                 family: String, url: String, host: String): ParsedPage = {
+    val plan = World.pagePlan(seed, qid, lang, title, family)
+    val docId = s"$qid:$lang"
+
+    // retry loop (deterministic): transientFailures 503s precede the final
+    // status; if they exceed the retry budget the fetch fails with 503.
+    val (status, success) =
+      if (plan.transientFailures >= maxRetries) (503, false)
+      else (plan.httpStatus, plan.httpStatus == 200)
+
+    if (!success || !plan.hasContent) {
+      return ParsedPage(
+        FetchResult(docId, url, host, status, success, hasContent = false,
+          pageTitle = title, mainImageUrl = "", spans = Seq.empty),
+        Seq.empty, None)
+    }
+
+    // main image: REST-summary lead only, rejected when chrome (M1)
+    val mainImage =
+      if (UiChrome.isAcceptableMainImageUrl(plan.leadImageUrl)) plan.leadImageUrl
+      else ""
+
+    // sections: markup → parser → writer rules
+    val markup = World.renderMarkup(plan.blocks)
+    val sections = SectionParser.toSectionRows(
+      SectionParser.extractTitlesAndText(markup))
+
+    // M6 format line from the French movie 'Fiche technique' section
+    val formatLine =
+      if (family == "movie" && lang == "fr")
+        sections.find(_._2 == "Fiche technique")
+          .flatMap(s => SectionParser.extractFormatLine(s._3))
+      else None
+
+    // gallery: chrome filtered before numbering
+    val gallery = plan.images.filterNot(ip => UiChrome.isUiChromeFile(ip.fileTitle))
+      .zipWithIndex.map { case (ip, idx) => (idx + 1, ip) }
+
+    val spans =
+      sections.map { case (ord, _, content) => Span("section", content, "", ord) } ++
+      gallery.map { case (ord, ip) => Span("image", ip.caption, ip.url, ord) }
+
+    ParsedPage(
+      FetchResult(docId, url, host, status, success = true, hasContent = true,
+        pageTitle = title, mainImageUrl = mainImage, spans = spans),
+      sections, formatLine)
+  }
+}

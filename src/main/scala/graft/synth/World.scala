@@ -1,0 +1,368 @@
+package graft.synth
+
+import graft.model._
+
+/** Deterministic synthetic crawl world — seeded, splittable, no external
+  * data (north rule: "synthesise it deterministically at small scale").
+  *
+  * Every property of the world is a pure function of (seed, key...) via a
+  * splitmix64-style mixer, so the Spark pipeline (distributed, any partition
+  * count) and the single-threaded oracle observe the SAME world without
+  * coordination — the in-sandbox stand-in for the reference's fixed external
+  * Wikipedia (the fetch is a pure lookup, as SURVEY.md §7.1 module `synth`).
+  *
+  * Shapes mirror FIXTURES.md: 20 entity families in the reference's
+  * precedence order (wikipedia_crawler.py:600-761), Zipf-skewed hosts (en/fr
+  * hot, ~60%), ~3% invalid Qids (fail ^Q[0-9]+$), ~10% cross-family
+  * duplicates, ~5% URL near-duplicates (case/fragment/query-order), pages
+  * with chrome images + lookalikes that must survive, ~70% lead images.
+  */
+object World {
+
+  // ---- splittable deterministic hashing -----------------------------------
+
+  /** splitmix64 finalizer — public-domain mixing constants. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def mix(parts: Long*): Long = parts.foldLeft(0x6A09E667F3BCC909L)((a, p) => mix64(a ^ p))
+
+  def hashStr(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Uniform [0, n) from a hash. */
+  def bounded(h: Long, n: Int): Int = (Math.floorMod(h, n.toLong)).toInt
+
+  /** Uniform [0,1) from a hash. */
+  def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  // ---- static world structure ---------------------------------------------
+
+  /** The 20 entity families in precedence order
+    * (wikipedia_crawler.py:600-761; README.md:285-320). */
+  val families: Vector[String] = Vector(
+    "movie", "person", "item", "character", "tmdbcollection", "episode",
+    "keyword", "season", "serie", "wikidatacharacter", "other", "list",
+    "movement", "collection", "group", "death", "award", "nomination",
+    "topic", "technical")
+
+  def familyRank(f: String): Int = families.indexOf(f)
+
+  /** Language editions = hosts. en/fr hot (the commons/enwiki dominance
+    * analogue, FIXTURES.md F2: 2 hot hosts carry ~60%). */
+  val langs: Vector[String] = Vector(
+    "en", "fr", "de", "es", "it", "pt", "ru", "ja", "zh", "pl", "nl", "sv")
+
+  /** Zipf-ish cumulative weights: en 35%, fr 25%, rest split the tail. */
+  def pickLang(h: Long): String = {
+    val u = unit(h)
+    if (u < 0.35) "en"
+    else if (u < 0.60) "fr"
+    else langs(2 + bounded(mix64(h), langs.length - 2))
+  }
+
+  def hostOf(lang: String): String = s"$lang.wikipedia.org"
+
+  private val vocab: Vector[String] = Vector(
+    "film", "director", "scene", "actor", "studio", "release", "script",
+    "camera", "award", "festival", "cast", "producer", "editor", "score",
+    "poster", "sequel", "critic", "review", "premiere", "budget", "plot",
+    "archive", "museum", "series", "episode", "character", "novel", "stage",
+    "record", "label", "journal", "letter", "estate", "garden", "bridge")
+
+  def words(h: Long, n: Int): String =
+    (0 until n).map(i => vocab(bounded(mix(h, i.toLong), vocab.length))).mkString(" ")
+
+  // ---- entities / frontier -------------------------------------------------
+
+  final case class Entity(
+      idx: Long,
+      qid: String,        // possibly invalid (~3%)
+      family: String,
+      familyRank: Int,
+      pk: String,         // per-family ordered key (zero-padded, ORDER BY pk ASC)
+      priority: Int,
+      sitelinks: Map[String, String]) // lang -> page title
+
+  def entity(seed: Long, i: Long): Entity = {
+    val h = mix(seed, 0xE117L, i)
+    val qnum = Math.floorMod(mix(h, 1L), 90000000L) + 1000000L
+    val invalid = unit(mix(h, 2L)) < 0.03
+    val qid =
+      if (!invalid) s"Q$qnum"
+      else bounded(mix(h, 3L), 3) match {
+        case 0 => s"X$qnum"      // wrong prefix
+        case 1 => s"Q${qnum}A"   // trailing letter
+        case _ => ""             // empty
+      }
+    val fam = families(bounded(mix(h, 4L), families.length))
+    val pk = f"${Math.floorMod(mix(h, 5L), 10000000L)}%010d"
+    val priority = bounded(mix(h, 6L), 10)
+    // 1-3 sitelinks; primary lang Zipf-picked, extras uniform
+    val primary = pickLang(mix(h, 7L))
+    val nExtra = bounded(mix(h, 8L), 3)
+    val extraLangs = (0 until nExtra)
+      .map(k => langs(bounded(mix(h, 9L, k.toLong), langs.length)))
+    val linkLangs = (Seq(primary) ++ extraLangs).distinct
+    // ~15% of (qid, lang) pairs missing a title (no-page path)
+    val sitelinks = linkLangs.flatMap { l =>
+      if (unit(mix(h, 10L, hashStr(l))) < 0.15) None
+      else Some(l -> pageTitle(h, l))
+    }.toMap
+    Entity(i, qid, fam, familyRank(fam), pk, priority, sitelinks)
+  }
+
+  def pageTitle(entityHash: Long, lang: String): String = {
+    val h = mix(entityHash, 11L, hashStr(lang))
+    val base = words(h, 2 + bounded(mix64(h), 3)).split(" ")
+      .map(_.capitalize).mkString(" ")
+    // ~10% titles carry an intra-title " - " (exercises en-dash escape)
+    if (unit(mix(h, 12L)) < 0.10) base + " - " + (1900 + bounded(mix(h, 13L), 120))
+    else base
+  }
+
+  /** The raw frontier row for an entity in a family (pre-canonicalization
+    * URL; ~5% emit a near-duplicate variant differing only by
+    * case/fragment/query-order — FIXTURES.md F2). */
+  def frontierUrl(e: Entity, lang: String, title: String, variant: Boolean): String = {
+    val t = title.replace(' ', '_')
+    val base = s"https://${hostOf(lang)}/wiki/$t?ref=crawl&v=1"
+    if (!variant) base
+    else {
+      val h = mix(hashStr(base), 14L)
+      bounded(h, 3) match {
+        case 0 => s"HTTPS://${hostOf(lang).toUpperCase}/wiki/$t?ref=crawl&v=1"
+        case 1 => base + "#section-2"
+        case _ => s"https://${hostOf(lang)}/wiki/$t?v=1&ref=crawl"
+      }
+    }
+  }
+
+  /** A raw frontier row (S1 analogue — one per (entity, family) plus noise). */
+  final case class FrontierRow(
+      url: String, host: String, family: String, familyRank: Int,
+      pk: String, priority: Int, qid: String)
+
+  /** One sitelink dimension row (S4 analogue — the wbgetentities build side). */
+  final case class SitelinkRow(qid: String, lang: String, langRank: Int, title: String)
+
+  /** Frontier rows for entity i: the primary family row, ~10% a second
+    * (later-processed) family row (exercises precedence dedup), ~5% a
+    * near-duplicate URL variant (exercises canonicalization dedup). */
+  def frontierRows(seed: Long, i: Long): Seq[FrontierRow] = {
+    val e = entity(seed, i)
+    val h = mix(seed, 0xF407L, i)
+    val url = s"https://www.wikidata.org/wiki/${e.qid}?ref=crawl&v=1"
+    val rows = Vector.newBuilder[FrontierRow]
+    rows += FrontierRow(url, "www.wikidata.org", e.family, e.familyRank, e.pk, e.priority, e.qid)
+    if (unit(mix(h, 1L)) < 0.10) { // duplicate entity in a second family
+      val fam2 = families(bounded(mix(h, 2L), families.length))
+      val pk2 = f"${Math.floorMod(mix(h, 3L), 10000000L)}%010d"
+      rows += FrontierRow(url, "www.wikidata.org", fam2, familyRank(fam2), pk2, e.priority, e.qid)
+    }
+    if (unit(mix(h, 4L)) < 0.05) { // URL near-duplicate variant
+      val variant = bounded(mix(h, 5L), 3) match {
+        case 0 => s"HTTPS://WWW.WIKIDATA.ORG/wiki/${e.qid}?ref=crawl&v=1"
+        case 1 => url + "#sitelinks"
+        case _ => s"https://www.wikidata.org/wiki/${e.qid}?v=1&ref=crawl"
+      }
+      rows += FrontierRow(variant, "www.wikidata.org", e.family, e.familyRank, e.pk, e.priority, e.qid)
+    }
+    rows.result()
+  }
+
+  def sitelinkRows(seed: Long, i: Long): Seq[SitelinkRow] = {
+    val e = entity(seed, i)
+    e.sitelinks.toSeq.sortBy { case (l, _) => langs.indexOf(l) }
+      .map { case (l, t) => SitelinkRow(e.qid, l, langs.indexOf(l), t) }
+  }
+
+  // ---- page plan (the deterministic "Wikipedia") ---------------------------
+
+  final case class ImagePlan(
+      fileTitle: String,   // namespaced "File:Name" form
+      url: String,         // upload.wikimedia.org canonical URL
+      caption: String,
+      isChrome: Boolean)   // ground truth for tests (filter must agree)
+
+  final case class PagePlan(
+      qid: String,
+      lang: String,
+      title: String,
+      httpStatus: Int,           // final status after retries
+      transientFailures: Int,    // 503s before success (retry policy C4/C5)
+      hasContent: Boolean,
+      leadImageUrl: String,      // "" when none; may be chrome (must be rejected)
+      blocks: Seq[graft.parse.SectionParser.Block],
+      images: Seq[ImagePlan])
+
+  /** Chrome filename families actually caught by the P4 filter, and the
+    * known lookalikes that MUST survive it (wikipedia_images.py:146-171). */
+  private val chromeNames = Vector(
+    "OOjs_UI_icon_edit-ltr-progressive.svg", "Commons-logo.svg",
+    "Wikidata-logo.svg", "Ambox_important.svg", "Stub_icon_film.svg",
+    "Disambig_gray.svg", "Question_book-new.svg", "Wiki_letter_w.svg",
+    "2017-fr.wp-orange-source.svg", "Edit-clear.svg", "Merge-arrow.svg",
+    "Information_icon.svg", "Text_document_with_red_question_mark.svg",
+    "Cscr-featured.svg", "Increase2.svg", "Yes_check.svg", "X_mark.svg",
+    "Magnify-clip.png", "Broom_icon.svg", "Searchtool.svg",
+    "Speaker_Icon.svg", "Blue_pencil.svg", "Nuvola_apps_kaboodle.svg",
+    "Crystal_Clear_app_kaboodle.png", "Gnome-mime-sound-openclipart.svg",
+    "Emblem-important.svg", "Symbol_support_vote.svg", "Portal-puzzle.svg",
+    "Logo_disambig.svg", "langfr-120px-Blue_pencil.svg.png",
+    "960px-Commons-logo.svg.png")
+
+  private val lookalikeNames = Vector(
+    "Crystal_Pite.jpg", "Emblem_of_New_Caledonia.svg",
+    "X_Marks_the_Spot_poster.jpg", "Portal_2_Official_Logo.png",
+    "GNOME_Shell.png", "Broome_LGA_WA.png", "Symbol_of_Tokyo_Metropolis.svg",
+    "Emblem-Ramakrishna-Mission-Transparent.png", "Lock-of-Youth.jpg")
+
+  def uploadUrl(name: String): String = {
+    val h = Math.floorMod(hashStr(name), 256L)
+    val a = Integer.toHexString((h >> 4).toInt & 0xF)
+    val ab = a + Integer.toHexString(h.toInt & 0xF)
+    s"https://upload.wikimedia.org/wikipedia/commons/$a/$ab/$name"
+  }
+
+  import graft.parse.SectionParser.{Block, TextBlock, ListBlock}
+
+  private def paragraph(h: Long): TextBlock = {
+    val base = words(h, 6 + bounded(mix64(h), 12))
+    // ~8% of paragraphs carry a "[edit]" marker the writer must strip
+    val text = if (unit(mix(h, 20L)) < 0.08) base + "[edit]" else base
+    TextBlock("p", text)
+  }
+
+  private def listBlock(h: Long): ListBlock = {
+    val tag = if (unit(mix(h, 21L)) < 0.5) "ul" else "ol"
+    val n = 1 + bounded(mix(h, 22L), 4)
+    ListBlock(tag, (0 until n).map(i => words(mix(h, 23L, i.toLong), 3 + bounded(mix(h, 24L, i.toLong), 4))))
+  }
+
+  private def bodyBlock(h: Long): Block = bounded(mix(h, 25L), 10) match {
+    case 0 | 1    => listBlock(h)
+    case 2        => TextBlock("h4", words(mix(h, 26L), 2).capitalize)
+    case _        => paragraph(h)
+  }
+
+  private val noSubsplitPool = Vector(
+    "References", "See also", "External links", "Notes",
+    "Références", "Voir aussi", "Liens externes", "Bibliographie")
+
+  /** The full deterministic page for (qid, lang) — the synthetic stand-in
+    * for the parse-API response (wikipedia_page_writer.py:108-188). */
+  def pagePlan(seed: Long, qid: String, lang: String, title: String,
+               family: String): PagePlan = {
+    val h = mix(seed, hashStr(qid), hashStr(lang), 0xBEEFL)
+    // status: 90% clean 200; 5% 200 after 1-2 transient 503s; 3% 404; 2% hard 503
+    val u = unit(mix(h, 30L))
+    val (status, transients) =
+      if (u < 0.90) (200, 0)
+      else if (u < 0.95) (200, 1 + bounded(mix(h, 31L), 2))
+      else if (u < 0.98) (404, 0)
+      else (503, 3)
+    val hasContent = status == 200 && unit(mix(h, 32L)) < 0.97
+
+    // lead image (~70%); of those ~10% chrome (must be rejected, M1 rule)
+    val leadImage =
+      if (unit(mix(h, 33L)) >= 0.70) ""
+      else if (unit(mix(h, 34L)) < 0.10) uploadUrl(chromeNames(bounded(mix(h, 35L), chromeNames.length)))
+      else uploadUrl(realImageName(mix(h, 36L)))
+
+    // body blocks
+    val blocks = Vector.newBuilder[Block]
+    if (hasContent) {
+      val nIntro = bounded(mix(h, 40L), 4) // 0-3 intro blocks
+      (0 until nIntro).foreach(i => blocks += bodyBlock(mix(h, 41L, i.toLong)))
+      val nH2 = bounded(mix(h, 42L), 9) // 0-8 sections
+      (0 until nH2).foreach { s =>
+        val hs = mix(h, 43L, s.toLong)
+        // ~20% of pages end with a no-subsplit end-matter section
+        val isEndMatter = s == nH2 - 1 && unit(mix(h, 44L)) < 0.20
+        val h2Title =
+          if (isEndMatter) noSubsplitPool(bounded(mix(hs, 45L), noSubsplitPool.length))
+          else {
+            val t = words(mix(hs, 46L), 1 + bounded(mix(hs, 47L), 3)).capitalize
+            if (unit(mix(hs, 48L)) < 0.10) t + " - " + (1900 + bounded(mix(hs, 49L), 120))
+            else t
+          }
+        blocks += TextBlock("h2", h2Title)
+        val nLead = bounded(mix(hs, 50L), 3)
+        (0 until nLead).foreach(i => blocks += bodyBlock(mix(hs, 51L, i.toLong)))
+        val nH3 = bounded(mix(hs, 52L), 4) // 0-3 subsections (h3 also emitted in end-matter; parser must inline them there)
+        (0 until nH3).foreach { t =>
+          val ht = mix(hs, 53L, t.toLong)
+          blocks += TextBlock("h3", words(mix(ht, 54L), 1 + bounded(mix(ht, 55L), 2)).capitalize)
+          val nBody = bounded(mix(ht, 56L), 3)
+          (0 until nBody).foreach(i => blocks += bodyBlock(mix(ht, 57L, i.toLong)))
+        }
+      }
+      // movie-family French pages carry a 'Fiche technique' section (M6)
+      if (family == "movie" && lang == "fr" && unit(mix(h, 58L)) < 0.8) {
+        blocks += TextBlock("h2", "Fiche technique")
+        val fmt = words(mix(h, 59L), 3)
+        blocks += ListBlock("ul", Seq(
+          "Titre : " + title,
+          "Format : " + fmt,
+          "Pays : France"))
+      }
+    }
+
+    // gallery images: 0-12; ~15% chrome, ~2% lookalikes
+    val nImages = if (hasContent) bounded(mix(h, 60L), 13) else 0
+    val images = (0 until nImages).map { i =>
+      val hi = mix(h, 61L, i.toLong)
+      val ui = unit(mix(hi, 62L))
+      val name =
+        if (ui < 0.15) chromeNames(bounded(mix(hi, 63L), chromeNames.length))
+        else if (ui < 0.17) lookalikeNames(bounded(mix(hi, 64L), lookalikeNames.length))
+        else realImageName(mix(hi, 65L))
+      val prefix = if (lang == "fr") "Fichier:" else "File:"
+      ImagePlan(
+        fileTitle = prefix + name.replace('_', ' '),
+        url = uploadUrl(name),
+        caption = words(mix(hi, 66L), 4 + bounded(mix(hi, 67L), 5)),
+        isChrome = graft.parse.UiChrome.matchesChrome(name))
+    }
+
+    PagePlan(qid, lang, title, status, transients, hasContent, leadImage,
+      blocks.result(), images)
+  }
+
+  def realImageName(h: Long): String = {
+    val exts = Vector(".jpg", ".png", ".jpg", ".jpg", ".svg")
+    words(h, 2 + bounded(mix64(h), 3)).split(" ")
+      .map(_.capitalize).mkString("_") +
+      "_" + bounded(mix(h, 70L), 9999) + exts(bounded(mix(h, 71L), exts.length))
+  }
+
+  /** Render a plan's blocks to the markup subset the parser consumes
+    * (the synthetic stand-in for the rendered-HTML parse API, S8). */
+  def renderMarkup(blocks: Seq[Block]): String = {
+    val sb = new StringBuilder("<body>")
+    blocks.foreach {
+      case TextBlock(name, text) => sb.append(s"<$name>$text</$name>")
+      case ListBlock(name, items) =>
+        sb.append(s"<$name>")
+        items.foreach(li => sb.append(s"<li>$li</li>"))
+        sb.append(s"</$name>")
+    }
+    sb.append("</body>").toString
+  }
+
+  /** Robots rules (FIXTURES.md F4): deterministic per (host, first path
+    * letter): ~5% of (host, letter) buckets are disallowed. */
+  def robotsAllowed(seed: Long, host: String, path: String): Boolean = {
+    val c = path.drop("/wiki/".length).headOption.getOrElse('_').toLower
+    unit(mix(seed, 0x0B07L, hashStr(host), c.toLong)) >= 0.05
+  }
+}

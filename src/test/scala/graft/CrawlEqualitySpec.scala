@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl.Crawl
+import graft.crawl.Crawl.CrawlConfig
+import graft.model.Span
+import graft.oracle.OracleCrawler
+
+/** The north-rule equality gates: crawl ordering, URL-seen set, and per-doc
+  * span sequences must match the single-threaded oracle exactly under the
+  * same seed list + politeness budget (BASELINE.json north_rule;
+  * SURVEY.md §5). */
+class CrawlEqualitySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-crawl").toString
+
+  private val cfg0 = CrawlConfig(seed = 42L, nEntities = 250L,
+    budgetPerHost = 24, saltBuckets = 4, maxTicks = 40, workDir = "")
+
+  lazy val oracle = OracleCrawler.run(cfg0)
+
+  test("spark crawl matches oracle: batches, ordering, seen set, spans") {
+    val cfg = cfg0.copy(workDir = freshDir())
+    val results = Crawl.run(spark, cfg)
+    assert(results.nonEmpty)
+    assert(results.length == oracle.batches.length,
+      s"tick count spark=${results.length} oracle=${oracle.batches.length}")
+
+    // per-tick batch composition + within-tick crawl order
+    results.foreach { r =>
+      val sparkBatch = spark.read
+        .parquet(s"${cfg.workDir}/pages/tick=${r.tick}")
+        .select($"doc_id", $"sortKey").collect()
+        .map(x => (x.getString(0), x.getString(1)))
+        .sortBy(_._2).map(_._1).toVector
+      val oracleBatch = oracle.batches(r.tick).map(_.docId)
+      assert(sparkBatch == oracleBatch, s"batch mismatch at tick ${r.tick}")
+    }
+
+    // URL-seen set equality (exact, not probabilistic — two-phase dedup)
+    val sparkSeen = spark.read.parquet(Crawl.seenDir(cfg.workDir))
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(sparkSeen == oracle.seen)
+
+    // span-sequence equality per doc_id (kind, text, media_ref, order)
+    val sparkDocs = Crawl.docsView(spark, cfg.workDir).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(sparkDocs.keySet == oracle.docs.keySet)
+    sparkDocs.foreach { case (id, spans) =>
+      assert(spans == oracle.docs(id), s"span mismatch for $id")
+    }
+
+    // every global metric agrees
+    assert(results.map(_.scheduled).sum == oracle.seen.size.toLong)
+  }
+
+  test("resume from checkpoint replays to identical final state") {
+    val cfg = cfg0.copy(workDir = freshDir())
+    // run only the first 2 ticks, then "crash"
+    Crawl.tick(spark, cfg, 0)
+    Crawl.tick(spark, cfg, 1)
+    assert(Crawl.completedTicks(cfg.workDir) == 2)
+    // resume — run() continues from the manifest watermark
+    val resumed = Crawl.run(spark, cfg)
+    assert(resumed.head.tick == 2)
+
+    val seen = spark.read.parquet(Crawl.seenDir(cfg.workDir))
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(seen == oracle.seen)
+    val docs = Crawl.docsView(spark, cfg.workDir).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(docs.keySet == oracle.docs.keySet)
+  }
+
+  test("re-running a completed tick is idempotent (keyed full replacement)") {
+    val cfg = cfg0.copy(workDir = freshDir())
+    val r0 = Crawl.tick(spark, cfg, 0)
+    val before = spark.read.parquet(s"${Crawl.docsDir(cfg.workDir)}/tick=0")
+      .orderBy($"doc_id").collect().toSeq
+    // replay the same tick over the previous tick-0 seen state: candidates
+    // recompute against seen including tick 0 itself — so clear tick-0 seen
+    // first (simulates a crash between docs write and seen write)
+    val seenTick0 = new java.io.File(s"${Crawl.seenDir(cfg.workDir)}/tick=0")
+    seenTick0.listFiles().foreach(_.delete()); seenTick0.delete()
+    val r1 = Crawl.tick(spark, cfg, 0)
+    assert(r0.scheduled == r1.scheduled && r0.parsedDocs == r1.parsedDocs)
+    val after = spark.read.parquet(s"${Crawl.docsDir(cfg.workDir)}/tick=0")
+      .orderBy($"doc_id").collect().toSeq
+    assert(before == after)
+  }
+
+  test("politeness budget is respected per host per tick") {
+    val cfg = cfg0.copy(workDir = freshDir())
+    Crawl.tick(spark, cfg, 0)
+    val perHost = spark.read.parquet(s"${cfg.workDir}/pages/tick=0")
+      .groupBy($"host").count().collect()
+    perHost.foreach { r =>
+      assert(r.getLong(1) <= cfg.budgetPerHost,
+        s"host ${r.getString(0)} over budget: ${r.getLong(1)}")
+    }
+  }
+
+  test("failed fetches are recorded but produce no document") {
+    val cfg = cfg0.copy(workDir = freshDir(), maxTicks = 3)
+    Crawl.run(spark, cfg)
+    val pages = spark.read.parquet(s"${cfg.workDir}/pages")
+    val failed = pages.filter(!$"success")
+    assert(failed.count() > 0, "synthetic world should include failures")
+    assert(failed.filter(size($"sections") > 0).count() == 0)
+    // 503-exhausted and 404 pages carry their status
+    assert(pages.filter($"httpStatus" === 404).count() > 0)
+  }
+}
