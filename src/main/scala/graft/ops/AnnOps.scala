@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ColSyntax._
+import graft.queries.Tables.t
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * sign-LSH (random-hyperplane) bucketed variant as the scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions — no UDFs,
+  * no collect. The brute-force path is one broadcast (Q queries) × scan
+  * (N base) with a TakeOrderedAndProject per query; the LSH path prunes the
+  * scan to matching buckets first.
+  */
+object AnnOps {
+
+  /** Dot product of two float-array columns, in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // Sign-LSH bucketing lives in Sigs.signBucket (typed one-pass kernel).
+
+  /** q_ann_brute — exact cosine top-k per query vector. Query set = the
+    * first `nQueries` vec_ids (broadcast); base = the full table. */
+  def bruteTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", round(cosine($"qv", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id", $"cos")
+  }
+
+  /** q_ann_lsh — the scale path: bucket base vectors by sign-LSH, probe
+    * only the query's bucket (plus Hamming-1 neighbor buckets), exact
+    * cosine within. Recall measured against bruteTopK in tests. */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+              k: Int = 10, nBits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, Sigs.signBucket(v, nBits)) }
+      .toDF("vec_id", "embedding", "bucket")
+    val queries = emb.filter($"vec_id" < nQueries)
+      .as[(Long, Seq[Float], Long)]
+      // multi-probe: own bucket + all Hamming-1 neighbor buckets
+      .flatMap { case (id, v, bkt) =>
+        (bkt +: (0 until nBits).map(i => bkt ^ (1L << i)))
+          .distinct.map(p => (id, v, p)) }
+      .toDF("query_id", "qv", "bucket")
+    val scored = emb.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(cosine($"qv", $"embedding"), 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id", $"cos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_brute" -> ((s: SparkSession, d: String) => bruteTopK(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => lshTopK(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, rank, vec_id, cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+        |      AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.synth.World.{mix, mix64, hashStr}
+
+/** Pure-Scala signature kernels for the dedup/ANN operators.
+  *
+  * These run inside typed `map`/`mapPartitions` — ONE pass per row — rather
+  * than as Catalyst higher-order-function expressions. Reason: HOF lambdas
+  * are interpreted and Catalyst's CollapseProject inlines a signature
+  * expression into every consumer, re-evaluating the full k-permutation
+  * MinHash per reference (measured: minutes instead of seconds at 500
+  * rows). A deterministic Scala kernel is evaluated exactly once per row,
+  * is JIT-compiled, and the surrounding shuffle structure (band explode +
+  * equi-join + verify join) stays in DataFrame land where Catalyst earns
+  * its keep.
+  */
+object Sigs {
+
+  /** Distinct word n-gram shingles (n=3; whole trimmed text if shorter). */
+  def shingles(text: String, n: Int = 3): Array[String] = {
+    val ws = text.trim.split("\\s+")
+    if (ws.length < n) Array(ws.mkString(" "))
+    else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+      .distinct.toArray
+  }
+
+  /** MinHash signature: k permutations h_i(s) = mix(hash(s), i). */
+  def minhash(text: String, k: Int): Array[Long] = {
+    val hs = shingles(text).map(hashStr)
+    Array.tabulate(k) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) { val v = mix(hs(j), i.toLong); if (v < m) m = v; j += 1 }
+      if (hs.isEmpty) mix(0L, i.toLong) else m
+    }
+  }
+
+  /** LSH band keys over a signature: b bands × r rows. */
+  def bands(sig: Array[Long], b: Int, r: Int): Array[Long] =
+    Array.tabulate(b) { j =>
+      var h = mix64(j.toLong)
+      var x = 0
+      while (x < r) { h = mix64(h ^ sig(j * r + x)); x += 1 }
+      h
+    }
+
+  /** 64-bit SimHash over word hashes. */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.trim.split("\\s+").foreach { w =>
+      val h = hashStr(w)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash band keys: 4 bands of 16 bits. */
+  def simhashBands(sim: Long): Array[Long] =
+    Array.tabulate(4)(j => mix(j.toLong, (sim >>> (j * 16)) & 0xFFFFL))
+
+  /** Sign-LSH bucket over a float vector: nBits hyperplanes with
+    * deterministic ±1 components from mix(i, d). */
+  def signBucket(v: Seq[Float], nBits: Int): Long = {
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) {
+        val sign = if ((mix(i.toLong, d.toLong) & 1L) == 1L) 1.0 else -1.0
+        proj += v(d) * sign
+        d += 1
+      }
+      if (proj > 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
+}

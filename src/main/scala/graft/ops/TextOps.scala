@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ColSyntax._
+import graft.queries.Tables.t
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are pure column expressions (whole-stage codegen, no UDFs) — at
+  * 100 TB these run as a single scan with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer count (the BPE-ish regex variant is
+    * [[tokenCountBpe]]). */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish sub-word segment count: each run of letters, digits, or
+    * punctuation is one segment — an upper-bound proxy for BPE token counts
+    * without a vocab file (regex kept lookaround-free so the DuckDB/RE2
+    * oracle computes the identical quantity). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
+
+  /** Language-ID marker words per language (n-gram/stopword heuristic).
+    * Deterministic tie-break: the language list order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "zh" -> Seq("de", "shi", "zhe", "he"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    words.map(w => size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0))))
+      .reduce(_ + _)
+
+  /** q_lang_id — argmax of marker-word hits, 'und' when all zero. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val withHits = langMarkers.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", markerHits($"text", words))
+    }
+    val best = langMarkers.map(_._1).foldLeft(
+      (lit("und"), lit(0))) { case ((bestLang, bestHits), lang) =>
+      val h = col(s"hits_$lang")
+      (when(h > bestHits, lit(lang)).otherwise(bestLang),
+        when(h > bestHits, h).otherwise(bestHits))
+    }
+    withHits.select($"doc_id", best._1.as("lang_pred"), best._2.as("marker_hits"))
+  }
+
+  /** q_quality_score — length / punctuation / stopword-ratio features and a
+    * composite score (the shape of pretraining quality filters). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nTokens = tokenCountCol($"text")
+    val nChars = length($"text")
+    val punct = nChars - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))
+    val stop = markerHits($"text", Seq("the", "a", "of", "and", "le", "la"))
+    docs.select(
+      $"doc_id",
+      nTokens.as("n_tokens"),
+      round(nChars.cast("double") / nTokens, 4).as("avg_token_len"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      round(
+        least(nTokens.cast("double") / 50.0, lit(1.0)) * 0.5
+          + least(stop.cast("double") / nTokens * 5.0, lit(1.0)) * 0.3
+          + (lit(1.0) - least(punct.cast("double") / nChars * 10.0, lit(1.0))) * 0.2,
+        6).as("quality"))
+  }
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      tokenCountCol($"text").as("n_tokens"),
+      tokenCountBpe($"text").as("n_bpe_segments"))
+
+  /** q_fingerprint — 64-bit content fingerprint over whitespace-normalized
+    * text (xxhash64; the rolling-hash document signature). No SQL oracle —
+    * DuckDB's hash() is a different function (rows-only check). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      xxhash64(regexp_replace(trim($"text"), "\\s+", " ")).as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> (langId _),
+    "q_quality_score" -> (qualityScore _),
+    "q_token_count" -> (tokenCount _),
+    "q_fingerprint" -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" -> {
+      val hits = langMarkers.map { case (lang, ws) =>
+        val sum = ws.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+        s"($sum) AS hits_$lang"
+      }.mkString(",\n    ")
+      val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
+        case ((bl, bh), lang) =>
+          (s"CASE WHEN hits_$lang > ($bh) THEN '$lang' ELSE ($bl) END",
+            s"CASE WHEN hits_$lang > ($bh) THEN hits_$lang ELSE ($bh) END")
+      }
+      s"""SELECT doc_id, ${bestExpr._1} AS lang_pred, ${bestExpr._2} AS marker_hits
+         |FROM (SELECT doc_id,
+         |    $hits
+         |  FROM documents)""".stripMargin
+    },
+    "q_quality_score" ->
+      """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  round(n_chars2 / n_tokens, 4) AS avg_token_len,
+        |  round(punct / n_chars2, 6) AS punct_ratio,
+        |  round(stop / n_tokens, 6) AS stopword_ratio,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.5
+        |      + least(stop / n_tokens * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(punct / n_chars2 * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS n_chars2,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+        |       + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\band\b'))
+        |       + len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bla\b')) AS DOUBLE) AS stop
+        |  FROM documents)""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+        |    AS n_bpe_segments
+        |FROM documents""".stripMargin)
+}
