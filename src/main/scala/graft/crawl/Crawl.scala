@@ -96,6 +96,11 @@ object Crawl {
       .filter($"rn" === 1)
       .drop("rn")
 
+    // NOTE on scale: at 10^10 entities sitelinks are DATA-sized (≈1.5
+    // rows/entity), so the production plan is a co-partitioned shuffle join
+    // on qid (both sides bucketed by qid in storage). At sandbox scale the
+    // dim fits comfortably in a broadcast, which removes the build-side
+    // shuffle — measured faster here, and it is exactly what AQE would pick.
     val units = deduped
       .join(broadcast(sitelinks), Seq("qid"), "inner")
       .withColumn("host", concat($"lang", lit(".wikipedia.org")))
@@ -147,7 +152,6 @@ object Crawl {
       done: Boolean)
 
   def seenDir(workDir: String) = s"$workDir/seen"
-  def docsDir(workDir: String) = s"$workDir/docs"
 
   private def seenExists(spark: SparkSession, workDir: String): Boolean =
     new java.io.File(seenDir(workDir)).exists &&
@@ -194,28 +198,39 @@ object Crawl {
   /** Run one tick: schedule → fetch+parse → persist docs + seen + manifest.
     * Idempotent per tick (doc-level full replacement, M2/M3 semantics):
     * re-running a tick overwrites the same tick directories byte-equal. */
-  def tick(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int): TickResult = {
+  def tick(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int,
+           candidatesOpt: Option[Dataset[CrawlUnit]] = None): TickResult = {
     import spark.implicits._
 
-    val candidates = candidateUnits(spark, cfg)
+    // candidates may be cached by run() — regenerating them per tick is
+    // deterministic but wasteful (the frontier scan + dedup windows)
+    val candidates = candidatesOpt.getOrElse(candidateUnits(spark, cfg))
     val fresh = filterNew(spark, candidates, cfg.workDir)
     val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
       .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
         $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
       .cache()
 
-    val scheduledCount = batch.count()
-    if (scheduledCount == 0) {
-      batch.unpersist()
-      return TickResult(tickIdx, 0, 0, 0, 0, done = true)
-    }
-
     val seed = cfg.seed
     // fetch+parse on executors; pure fn of the unit → identical at any
-    // parallelism. Repartition by (host, salt) mirrors the politeness
-    // bucketing: one partition per host budget slice (C1/C2 semantics).
-    val parsed = batch
-      .repartition($"host", $"salt")
+    // parallelism. The politeness CONTRACT was already enforced by the
+    // ranked budget selection above, so the fetch stage is free to
+    // rebalance: hash-repartition on url spreads the hot hosts' units
+    // uniformly (partitioning by (host, salt) instead was measured to bound
+    // the critical path at the biggest host bucket — C2's serialization
+    // trap, reborn as a skewed partition). In a live crawler the per-host
+    // rate limiter would pin host partitions; in synthetic mode there is
+    // no rate to limit, only CPU to balance.
+    // ONE expensive pass: parse results stream straight into the pages
+    // parquet (no driver-memory cache of span arrays); metrics, the seen
+    // table, docs view, and watermarks all derive from the columnar file.
+    // explicit partition count: a column-only repartition lets AQE coalesce
+    // by the SHUFFLE INPUT size — but fetch+parse expands each row ~100×,
+    // so AQE under-provisions the stage (measured: 8 tasks on 16 cores,
+    // half the machine idle). A user-specified count is respected by AQE;
+    // 3× parallelism keeps the longest task ≪ stage wall (stragglers).
+    batch
+      .repartition(spark.sparkContext.defaultParallelism * 3, $"url")
       .as[CrawlUnitSalted]
       .mapPartitions { it =>
         it.map { u =>
@@ -223,42 +238,38 @@ object Crawl {
             u.url, u.host)
           FetchedRow(
             p.result.doc_id, u.url, u.host, u.family, u.title, u.sortKey,
-            p.result.httpStatus, p.result.success, p.result.hasContent,
+            u.salt, p.result.httpStatus, p.result.success, p.result.hasContent,
             p.result.mainImageUrl, p.result.spans,
-            p.sections.map(s => SectionRow(s._1, s._2, s._3)),
+            // section CONTENT lives in spans (kind='section', same offset);
+            // persisting it twice doubled the write volume for nothing
+            p.sections.map(s => SectionRow(s._1, s._2)),
             p.formatLine.getOrElse(""))
         }
       }
-      .cache()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
+    batch.unpersist()
 
-    // A5/A6 metrics analogue, computed distributed
-    val m = parsed.agg(
+    val pages = spark.read.parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
+
+    // A5/A6 metrics analogue — column-pruned scan of the written parquet
+    val m = pages.agg(
       count(lit(1)).as("n"),
       sum(when($"success", 1).otherwise(0)).as("ok"),
       sum(when($"hasContent", 1).otherwise(0)).as("docs"),
       sum(size($"spans")).as("spans")).collect()(0)
-
-    // docs table — the input_hint shape (doc_id, spans)
-    parsed.filter($"hasContent")
-      .select($"doc_id", $"spans")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${docsDir(cfg.workDir)}/tick=$tickIdx")
-
-    // page metadata (M1 analogue: title/url/status/main image, keyed doc_id)
-    parsed
-      .select($"doc_id", $"title", $"url", $"host", $"family", $"sortKey",
-        $"httpStatus", $"success", $"hasContent", $"mainImageUrl",
-        $"sections", $"formatLine")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
+    val scheduledCount = m.getLong(0)
+    if (scheduledCount == 0) {
+      return TickResult(tickIdx, 0, 0, 0, 0, done = true)
+    }
 
     // seen append (url + xxhash64 key for bucketing/Bloom)
-    batch.select($"url", xxhash64($"url").as("urlHash"))
+    pages.select($"url", xxhash64($"url").as("urlHash"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
 
     // manifest: per-(host,salt)-partition lineage watermarks + counters (M7)
-    val watermarks = batch.groupBy($"host", $"salt")
+    val watermarks = pages.groupBy($"host", $"salt")
       .agg(max($"sortKey").as("wm"))
       .collect()
       .map(r => s""""${r.getString(0)}#${r.getInt(1)}": "${r.getString(2)}"""")
@@ -282,8 +293,6 @@ object Crawl {
 
     val res = TickResult(tickIdx, scheduledCount, m.getLong(1), m.getLong(2),
       m.getLong(3), done = false)
-    parsed.unpersist()
-    batch.unpersist()
     res
   }
 
@@ -302,15 +311,24 @@ object Crawl {
     * manifests are the watermark lineage. */
   def run(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
     val start = completedTicks(cfg.workDir)
+    val candidates = candidateUnits(spark, cfg).cache()
+    val total = candidates.count()
+    var crawled =
+      if (start == 0) 0L
+      else readSeen(spark, cfg.workDir).count()
     val out = Vector.newBuilder[TickResult]
     var i = start
-    var done = false
+    var done = crawled >= total
     while (i < cfg.maxTicks && !done) {
-      val r = tick(spark, cfg, i)
+      val r = tick(spark, cfg, i, Some(candidates))
       done = r.done
       if (!r.done) out += r
+      crawled += r.scheduled
+      // frontier exhausted — skip scheduling an empty confirmation tick
+      if (crawled >= total) done = true
       i += 1
     }
+    candidates.unpersist()
     out.result()
   }
 
@@ -319,7 +337,8 @@ object Crawl {
   def docsView(spark: SparkSession, workDir: String): Dataset[Doc] = {
     import spark.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"tick".desc)
-    spark.read.parquet(docsDir(workDir))
+    spark.read.parquet(s"$workDir/pages")
+      .filter($"hasContent")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"doc_id", $"spans")
@@ -331,11 +350,11 @@ object Crawl {
       familyRank: Int, pk: String, priority: Int, title: String,
       url: String, host: String, docId: String, sortKey: String, salt: Int)
 
-  final case class SectionRow(display_order: Int, title: String, content: String)
+  final case class SectionRow(display_order: Int, title: String)
 
   final case class FetchedRow(
       doc_id: String, url: String, host: String, family: String,
-      title: String, sortKey: String, httpStatus: Int, success: Boolean,
-      hasContent: Boolean, mainImageUrl: String, spans: Seq[Span],
-      sections: Seq[SectionRow], formatLine: String)
+      title: String, sortKey: String, salt: Int, httpStatus: Int,
+      success: Boolean, hasContent: Boolean, mainImageUrl: String,
+      spans: Seq[Span], sections: Seq[SectionRow], formatLine: String)
 }

@@ -236,7 +236,7 @@ object World {
   import graft.parse.SectionParser.{Block, TextBlock, ListBlock}
 
   private def paragraph(h: Long): TextBlock = {
-    val base = words(h, 6 + bounded(mix64(h), 12))
+    val base = words(h, 12 + bounded(mix64(h), 28))
     // ~8% of paragraphs carry a "[edit]" marker the writer must strip
     val text = if (unit(mix(h, 20L)) < 0.08) base + "[edit]" else base
     TextBlock("p", text)
@@ -283,7 +283,11 @@ object World {
     if (hasContent) {
       val nIntro = bounded(mix(h, 40L), 4) // 0-3 intro blocks
       (0 until nIntro).foreach(i => blocks += bodyBlock(mix(h, 41L, i.toLong)))
-      val nH2 = bounded(mix(h, 42L), 9) // 0-8 sections
+      // 0-29 h2 sections (plus h3 subsections ⇒ ~20-40 emitted section rows
+      // per doc — the reference's production ratio is ~76 section rows per
+      // (doc, lang): 177.2M rows over ~2.33M page-langs,
+      // doc/sql/Wikipedia-tables.sql:39,117)
+      val nH2 = bounded(mix(h, 42L), 30)
       (0 until nH2).foreach { s =>
         val hs = mix(h, 43L, s.toLong)
         // ~20% of pages end with a no-subsplit end-matter section

@@ -81,7 +81,7 @@ class CrawlEqualitySpec extends AnyFunSuite {
   test("re-running a completed tick is idempotent (keyed full replacement)") {
     val cfg = cfg0.copy(workDir = freshDir())
     val r0 = Crawl.tick(spark, cfg, 0)
-    val before = spark.read.parquet(s"${Crawl.docsDir(cfg.workDir)}/tick=0")
+    val before = spark.read.parquet(s"${cfg.workDir}/pages/tick=0")
       .orderBy($"doc_id").collect().toSeq
     // replay the same tick over the previous tick-0 seen state: candidates
     // recompute against seen including tick 0 itself — so clear tick-0 seen
@@ -90,7 +90,7 @@ class CrawlEqualitySpec extends AnyFunSuite {
     seenTick0.listFiles().foreach(_.delete()); seenTick0.delete()
     val r1 = Crawl.tick(spark, cfg, 0)
     assert(r0.scheduled == r1.scheduled && r0.parsedDocs == r1.parsedDocs)
-    val after = spark.read.parquet(s"${Crawl.docsDir(cfg.workDir)}/tick=0")
+    val after = spark.read.parquet(s"${cfg.workDir}/pages/tick=0")
       .orderBy($"doc_id").collect().toSeq
     assert(before == after)
   }
