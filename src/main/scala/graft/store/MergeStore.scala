@@ -1,0 +1,100 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyed merge ("upsert") semantics over Parquet — the engine's analogue of
+  * the reference's persistence layer:
+  *
+  *  - S9 per-row upsert / S10 bulk `INSERT ... ON DUPLICATE KEY UPDATE`
+  *    (citizenphil.py:160-368) become generation-versioned writes + a
+  *    keep-latest merge view;
+  *  - M4 creation-field preservation (DAT_CREAT etc. written on insert
+  *    only, citizenphil.py:293,316-321): creation columns take their value
+  *    from the OLDEST generation of the key;
+  *  - M1 never-blank rule (MAIN_IMAGE_URL only written when resolved,
+  *    wikipedia_page_writer.py:319-320): nullable "sticky" columns take
+  *    the latest NON-NULL value;
+  *  - M2/M3 replace-set + tail prune: writing the full new row set per key
+  *    replaces upsert+delete in one idempotent operation (nested-array
+  *    layout makes the prune implicit).
+  *
+  * Storage layout: `dir/gen=N/` parquet per ingest generation; the merged
+  * view is computed with ONE window (keep-latest) + a self-aggregation for
+  * creation/sticky columns. At scale, generations are compacted by
+  * rewriting the merged view as a new base generation (see [[compact]]) —
+  * the Iceberg-snapshot model reproduced minimally (no Iceberg jars
+  * in-sandbox, SURVEY.md §7.0).
+  */
+object MergeStore {
+
+  def genDir(dir: String, gen: Int) = s"$dir/gen=$gen"
+
+  def generations(dir: String): Seq[Int] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Seq.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toInt).sorted.toSeq
+  }
+
+  /** Append one ingest generation (the bulk-upsert batch, S10). */
+  def ingest(df: DataFrame, dir: String): Int = {
+    val next = generations(dir).lastOption.getOrElse(-1) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(genDir(dir, next))
+    next
+  }
+
+  /** The merged (upserted) view of the table.
+    *
+    * @param keys          unique key columns (the UNIQUE index)
+    * @param creationCols  insert-only columns (M4): value of the key's
+    *                      FIRST generation wins
+    * @param stickyCols    never-blank columns (M1): latest non-null wins
+    */
+  def mergedView(spark: SparkSession, dir: String, keys: Seq[String],
+                 creationCols: Seq[String] = Nil,
+                 stickyCols: Seq[String] = Nil): DataFrame = {
+    val all = spark.read.parquet(dir) // partition column `gen` discovered
+    val keyCols = keys.map(col)
+    val wLatest = Window.partitionBy(keyCols: _*).orderBy(col("gen").desc)
+    val wAll = Window.partitionBy(keyCols: _*)
+      .orderBy(col("gen").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wUpTo = Window.partitionBy(keyCols: _*)
+      .orderBy(col("gen").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val decorated = creationCols.foldLeft(
+      stickyCols.foldLeft(all) { (df, c) =>
+        // last non-null across generations (sticky, M1)
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(wUpTo))
+      }) { (df, c) =>
+      // first generation's value (creation, M4)
+      df.withColumn(c, first(col(c)).over(wAll))
+    }
+    decorated
+      .withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "gen")
+  }
+
+  /** Compact all generations into a single new base (snapshot rewrite). */
+  def compact(spark: SparkSession, dir: String, keys: Seq[String],
+              creationCols: Seq[String] = Nil,
+              stickyCols: Seq[String] = Nil): Unit = {
+    val merged = mergedView(spark, dir, keys, creationCols, stickyCols)
+    val staging = s"$dir.compact"
+    merged.withColumn("gen", lit(0)).write.mode(SaveMode.Overwrite)
+      .partitionBy("gen").parquet(staging)
+    val target = new java.io.File(dir)
+    val old = new java.io.File(s"$dir.old")
+    target.renameTo(old)
+    new java.io.File(staging).renameTo(target)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(old)
+  }
+}

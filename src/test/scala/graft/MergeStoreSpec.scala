@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.store.MergeStore
+
+/** The verify_inplace_upsert.py invariants (reference
+  * migrations/verify_inplace_upsert.py:9-16): in-place update, creation
+  * fields preserved, update marker advances, no duplicate keys —
+  * re-expressed for the generation-versioned merge store. */
+class MergeStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fresh() = Files.createTempDirectory("graft-store").toString
+
+  private val keys = Seq("id", "lang")
+  private val creation = Seq("dat_creat")
+  private val sticky = Seq("main_image")
+
+  test("upsert: latest wins, creation preserved, sticky never blanked") {
+    val dir = fresh()
+    MergeStore.ingest(Seq(
+      (1L, "en", "t1", "g0", "img0"),
+      (2L, "en", "t2", "g0", null)
+    ).toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    MergeStore.ingest(Seq(
+      (1L, "en", "t1b", "g1", null),     // update: no new image → keep img0
+      (2L, "en", "t2b", "g1", "img2"),   // update: image resolved now
+      (3L, "fr", "t3", "g1", null)       // fresh insert
+    ).toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+
+    val got = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, "en", "t1b", "g0", "img0"), // title updated, creation g0, image kept
+      (2L, "en", "t2b", "g0", "img2"), // image filled in by later generation
+      (3L, "fr", "t3", "g1", null)))
+  }
+
+  test("re-ingesting the same batch is a no-op (idempotence) and keys unique") {
+    val dir = fresh()
+    val batch = Seq((1L, "en", "a", "g0", "i"), (2L, "fr", "b", "g0", null))
+      .toDF("id", "lang", "title", "dat_creat", "main_image")
+    MergeStore.ingest(batch, dir)
+    val v1 = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .orderBy("id").collect().toSeq
+    MergeStore.ingest(batch, dir)
+    val v2 = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .orderBy("id").collect().toSeq
+    assert(v1 == v2)
+    val dups = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .groupBy("id", "lang").count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
+  test("compact preserves the merged view exactly") {
+    val dir = fresh()
+    MergeStore.ingest(Seq((1L, "en", "a", "g0", "i0"), (2L, "en", "b", "g0", null))
+      .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    MergeStore.ingest(Seq((1L, "en", "a2", "g9", Option.empty[String]))
+      .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    val before = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .orderBy("id").collect().toSeq
+    MergeStore.compact(spark, dir, keys, creation, sticky)
+    assert(MergeStore.generations(dir) == Seq(0))
+    val after = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .orderBy("id").collect().toSeq
+    assert(before == after)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{Crawl, Views}
+import graft.crawl.Crawl.CrawlConfig
+
+class ViewsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  lazy val work: String = {
+    val dir = Files.createTempDirectory("graft-views").toString
+    Crawl.run(spark, CrawlConfig(seed = 42L, nEntities = 200L,
+      budgetPerHost = 1000, saltBuckets = 4, maxTicks = 3, workDir = dir))
+    dir
+  }
+
+  test("F7 thumbnail derivation rewrites commons paths and passes others") {
+    val got = Seq(
+      "https://upload.wikimedia.org/wikipedia/commons/a/ab/Cat.jpg",
+      "https://other.org/x/y.png").toDF("u")
+      .select(Views.thumbUrl($"u", 320)).collect().map(_.getString(0))
+    assert(got(0) ==
+      "https://upload.wikimedia.org/wikipedia/commons/thumb/a/ab/Cat.jpg/320px-Cat.jpg")
+    assert(got(1) == "https://other.org/x/y.png")
+  }
+
+  test("images view: dense order, main-image flag consistent with pages") {
+    val imgs = Views.imagesView(spark, work).cache()
+    // display_order dense 1..n per doc
+    val bad = imgs.groupBy($"doc_id")
+      .agg(max($"display_order").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n").count()
+    assert(bad == 0)
+    // is_main_image implies the page's main image equals that url
+    val pages = spark.read.parquet(s"$work/pages")
+      .select($"doc_id", $"mainImageUrl")
+    val inconsistent = imgs.filter($"is_main_image")
+      .join(pages, "doc_id")
+      .filter($"image_url" =!= $"mainImageUrl").count()
+    assert(inconsistent == 0)
+    // no UI chrome survived into the gallery
+    val chrome = imgs.collect().count(r =>
+      graft.parse.UiChrome.isUiChromeUrl(r.getAs[String]("image_url")))
+    assert(chrome == 0)
+  }
+
+  test("sections view carries titles and span content positionally") {
+    val secs = Views.sectionsView(spark, work)
+    assert(secs.count() > 0)
+    assert(secs.filter($"title".isNull || $"content".isNull).count() == 0)
+    // every (doc, display_order) unique
+    assert(secs.groupBy($"doc_id", $"display_order").count()
+      .filter($"count" > 1).count() == 0)
+    // first section of every doc is the Intro (parser emits it first)
+    assert(secs.filter($"display_order" === 1 && $"title" =!= "Intro").count() == 0)
+  }
+
+  test("image frequency report finds cross-document shared images") {
+    val rep = Views.imageFrequencyReport(spark, work, top = 10).collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getLong(1)).toSeq == rep.map(_.getLong(1)).toSeq.sorted.reverse)
+  }
+
+  test("format lines extracted for French movie pages") {
+    val fl = Views.formatLines(spark, work)
+    assert(fl.filter($"formatLine" === "").count() == 0)
+  }
+}
