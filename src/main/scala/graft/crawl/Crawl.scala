@@ -46,7 +46,11 @@ object Crawl {
       budgetPerHost: Int,
       saltBuckets: Int,
       maxTicks: Int,
-      workDir: String)
+      workDir: String,
+      // fixed Bloom sizing: every per-tick filter must share one capacity
+      // so persisted filters stay mergeable across ticks AND runs
+      bloomCapacity: Long = 1L << 20,
+      bloomFpp: Double = 0.01)
 
   /** One schedulable crawl unit = (entity, language) — the reference's
     * crawl unit (wikipedia_crawler.py:800). */
@@ -162,14 +166,19 @@ object Crawl {
 
   /** Two-phase URL-seen dedup: Bloom prefilter → exact anti-join for the
     * suspected subset only (no false drops, SURVEY.md §7.3: "seen-set
-    * equality"). Bloom-negatives are PROVABLY new and skip the join. */
+    * equality"). Bloom-negatives are PROVABLY new and skip the join.
+    *
+    * The filter comes from the persisted per-tick sketches merged at load
+    * (graft.dedup.BloomSeen) — never rebuilt from the full seen table; a
+    * missing sketch (older state dirs) falls back to a distributed build. */
   def filterNew(spark: SparkSession, units: Dataset[CrawlUnit],
-                workDir: String): Dataset[CrawlUnit] = {
+                cfg: CrawlConfig): Dataset[CrawlUnit] = {
     import spark.implicits._
-    if (!seenExists(spark, workDir)) return units
-    val seen = readSeen(spark, workDir).select($"url")
-    val nSeen = math.max(seen.count(), 1L)
-    val bloom: BloomFilter = seen.stat.bloomFilter("url", nSeen, 0.01)
+    if (!seenExists(spark, cfg.workDir)) return units
+    val seen = readSeen(spark, cfg.workDir).select($"url")
+    val bloom: BloomFilter = graft.dedup.BloomSeen.loadMerged(cfg.workDir)
+      .getOrElse(graft.dedup.BloomSeen.build(
+        seen.as[String], cfg.bloomCapacity, cfg.bloomFpp))
     val bc = spark.sparkContext.broadcast(bloom)
     val definitelyNew = units.filter(u => !bc.value.mightContainString(u.url))
     val suspected = units.filter(u => bc.value.mightContainString(u.url))
@@ -205,7 +214,7 @@ object Crawl {
     // candidates may be cached by run() — regenerating them per tick is
     // deterministic but wasteful (the frontier scan + dedup windows)
     val candidates = candidatesOpt.getOrElse(candidateUnits(spark, cfg))
-    val fresh = filterNew(spark, candidates, cfg.workDir)
+    val fresh = filterNew(spark, candidates, cfg)
     val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
       .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
         $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
@@ -266,7 +275,15 @@ object Crawl {
     // seen append (url + xxhash64 key for bucketing/Bloom)
     pages.select($"url", xxhash64($"url").as("urlHash"))
       .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 500000) // W5 bounded write batches
       .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
+
+    // persist this tick's Bloom sketch (mergeable across ticks and runs)
+    import spark.implicits._
+    graft.dedup.BloomSeen.save(
+      graft.dedup.BloomSeen.build(pages.select($"url").as[String],
+        cfg.bloomCapacity, cfg.bloomFpp),
+      cfg.workDir, tickIdx)
 
     // manifest: per-(host,salt)-partition lineage watermarks + counters (M7)
     val watermarks = pages.groupBy($"host", $"salt")

@@ -52,9 +52,12 @@ object Fetcher {
         Seq.empty, None)
     }
 
-    // main image: REST-summary lead only, rejected when chrome (M1)
+    // main image: REST-summary lead only, rejected when chrome (M1);
+    // fetched at all only for families that store one (P9 needs_image,
+    // wikipedia_crawler.py:801, wikipedia_page_writer.py:93-106)
     val mainImage =
-      if (UiChrome.isAcceptableMainImageUrl(plan.leadImageUrl)) plan.leadImageUrl
+      if (World.familiesWithImages.contains(family) &&
+          UiChrome.isAcceptableMainImageUrl(plan.leadImageUrl)) plan.leadImageUrl
       else ""
 
     // sections: markup → parser → writer rules
@@ -69,8 +72,11 @@ object Fetcher {
           .flatMap(s => SectionParser.extractFormatLine(s._3))
       else None
 
-    // gallery: chrome filtered before numbering
-    val gallery = plan.images.filterNot(ip => UiChrome.isUiChromeFile(ip.fileTitle))
+    // gallery: chrome (P4) + non-image mime (P6, wikipedia_images.py:370-371)
+    // filtered BEFORE numbering
+    val gallery = plan.images
+      .filterNot(ip => UiChrome.isUiChromeFile(ip.fileTitle))
+      .filter(_.mime.startsWith("image/"))
       .zipWithIndex.map { case (ip, idx) => (idx + 1, ip) }
 
     val spans =

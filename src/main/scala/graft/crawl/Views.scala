@@ -68,6 +68,18 @@ object Views {
           filter($"spans", s => s("kind") === "section" &&
             s("offset") === $"sec.display_order"), 1)("text").as("content"))
 
+  /** A3 — per-language result summary (test_wikipedia_page_images.py:
+    * 133-137): docs + main-image count per language; the boolean flag is
+    * 0/1-coerced exactly like the reference (F16). */
+  def langSummary(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/pages")
+      .filter($"hasContent")
+      .withColumn("lang", substring_index($"doc_id", ":", -1))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"mainImageUrl" =!= "").cast("int")).as("n_main_images"))
+
   /** M6 — French movie format-line writeback view. */
   def formatLines(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/pages")

@@ -89,6 +89,31 @@ object TextOps {
       $"doc_id",
       xxhash64(regexp_replace(trim($"text"), "\\s+", " ")).as("fingerprint"))
 
+  /** F8 — HTML tag strip + entity unescape (wikipedia_images.py:524-529):
+    * tag removal is a column expression; entity unescape covers the
+    * named/numeric entities the reference's html.unescape handles for
+    * caption text (the common five + decimal/hex numeric forms). */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]+>", "")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
+    trim(named.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r))
+    })
+  }
+
+  /** F9 — lang-tagged fragment extraction (wikipedia_images.py:531-549):
+    * pull the text of elements explicitly tagged lang="xx", newline-joined. */
+  def extractLangText(html: Column, lang: String): Column = {
+    // backreference \1 closes the SAME tag that opened (the reference's
+    // (?P=tag) group, wikipedia_images.py:539-542)
+    val re = "(?is)<([^\\s>/]+)[^>]*\\blang=['\"]" +
+      java.util.regex.Pattern.quote(lang) + "['\"][^>]*>(.*?)</\\1>"
+    array_join(
+      transform(regexp_extract_all(html, lit(re), lit(2)),
+        f => stripHtml(f)), "\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),

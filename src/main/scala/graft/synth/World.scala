@@ -191,7 +191,13 @@ object World {
       fileTitle: String,   // namespaced "File:Name" form
       url: String,         // upload.wikimedia.org canonical URL
       caption: String,
+      mime: String,        // ~5% non-image media (P6 must drop them)
       isChrome: Boolean)   // ground truth for tests (filter must agree)
+
+  /** P9 — families that store a main image (CONTENT_CONFIG imagetable !=
+    * "", wikipedia_page_writer.py:41-62: keyword/season/other have none). */
+  val familiesWithImages: Set[String] =
+    families.toSet -- Set("keyword", "season", "other", "technical")
 
   final case class PagePlan(
       qid: String,
@@ -331,10 +337,17 @@ object World {
         else if (ui < 0.17) lookalikeNames(bounded(mix(hi, 64L), lookalikeNames.length))
         else realImageName(mix(hi, 65L))
       val prefix = if (lang == "fr") "Fichier:" else "File:"
+      val mime =
+        if (unit(mix(hi, 68L)) < 0.05) // non-image media embedded on pages
+          Vector("video/ogg", "audio/ogg", "application/pdf")(bounded(mix(hi, 69L), 3))
+        else if (name.endsWith(".svg")) "image/svg+xml"
+        else if (name.endsWith(".png")) "image/png"
+        else "image/jpeg"
       ImagePlan(
         fileTitle = prefix + name.replace('_', ' '),
         url = uploadUrl(name),
         caption = words(mix(hi, 66L), 4 + bounded(mix(hi, 67L), 5)),
+        mime = mime,
         isChrome = graft.parse.UiChrome.matchesChrome(name))
     }
 

@@ -69,4 +69,40 @@ class ViewsSpec extends AnyFunSuite {
     val fl = Views.formatLines(spark, work)
     assert(fl.filter($"formatLine" === "").count() == 0)
   }
+
+  test("lang summary counts docs and 0/1-coerced main images per language") {
+    val ls = Views.langSummary(spark, work).collect()
+    assert(ls.nonEmpty)
+    ls.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("F8/F9: html strip + lang-tagged fragment extraction") {
+    import graft.ops.TextOps
+    val df = Seq(
+      ("<p>Hello <b>World</b> &amp; &lt;tags&gt;</p>",
+       "<span lang=\"fr\">Bonjour <i>le</i> monde</span><span lang=\"en\">Hi</span>")
+    ).toDF("h", "frags")
+      .select(TextOps.stripHtml($"h").as("s"),
+        TextOps.extractLangText($"frags", "fr").as("fr"),
+        TextOps.extractLangText($"frags", "de").as("de"))
+    val r = df.head
+    assert(r.getString(0) == "Hello World & <tags>")
+    assert(r.getString(1) == "Bonjour le monde")
+    assert(r.getString(2) == "")
+  }
+
+  test("P6: no non-image mime in any gallery; P9: imageless families have no main image") {
+    val pages = spark.read.parquet(s"$work/pages").collect()
+    pages.filter(p => !graft.synth.World.familiesWithImages.contains(p.getAs[String]("family")))
+      .foreach(p => assert(p.getAs[String]("mainImageUrl") == ""))
+  }
+
+  test("bloom sketches persist per tick and merge") {
+    val bf = graft.dedup.BloomSeen.loadMerged(work)
+    assert(bf.isDefined)
+    val seen = spark.read.parquet(graft.crawl.Crawl.seenDir(work))
+      .select($"url").collect().map(_.getString(0))
+    // no false negatives, ever
+    seen.foreach(u => assert(bf.get.mightContainString(u)))
+  }
 }
