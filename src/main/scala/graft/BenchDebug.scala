@@ -10,8 +10,8 @@ import graft.crawl.Crawl.CrawlConfig
 /** Dev profiling: stage-level wall vs task-time breakdown of a crawl run. */
 object BenchDebug {
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("N", "100000").toLong
-    Seq(16).foreach { cpus =>
+    val n = sys.env.getOrElse("N", "150000").toLong
+    Seq(8).foreach { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"dbg$cpus")

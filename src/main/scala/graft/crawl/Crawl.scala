@@ -76,16 +76,17 @@ object Crawl {
     import spark.implicits._
 
     // S1 frontier scan (synthetic source), P1 Qid-validity filter pushed
-    // to the generator scan
+    // to the generator scan. URL variants and family duplicates need no
+    // separate dedup shuffle: the precedence window below keeps exactly
+    // one row per qid, and tied rows (the ~5% canonical-URL variants)
+    // are identical in every projected column.
     val frontier = spark.range(cfg.nEntities)
       .flatMap(i => World.frontierRows(cfg.seed, i))
       .filter($"qid".rlike("^Q[0-9]+$"))
-      // canonical URL collapses the ~5% case/fragment/query-order variants
-      .withColumn("curl", UrlCanon.canonCol($"url"))
-      .dropDuplicates("qid", "familyRank", "pk", "curl")
 
     // J2 precedence dedup — ONE window instead of 19 anti-joins
-    val wPrec = Window.partitionBy($"qid").orderBy($"familyRank".asc, $"pk".asc)
+    val wPrec = Window.partitionBy($"qid")
+      .orderBy($"familyRank".asc, $"pk".asc, $"priority".asc)
     val deduped = frontier
       .withColumn("rn", row_number().over(wPrec))
       .filter($"rn" === 1)
@@ -238,6 +239,9 @@ object Crawl {
     // so AQE under-provisions the stage (measured: 8 tasks on 16 cores,
     // half the machine idle). A user-specified count is respected by AQE;
     // 3× parallelism keeps the longest task ≪ stage wall (stragglers).
+    // A5/A6 metrics via observe(): the aggregates are computed DURING the
+    // write job — no second pass over the (span-heavy) parquet
+    val obs = new org.apache.spark.sql.Observation(s"tick_$tickIdx")
     batch
       .repartition(spark.sparkContext.defaultParallelism * 3, $"url")
       .as[CrawlUnitSalted]
@@ -255,22 +259,25 @@ object Crawl {
             p.formatLine.getOrElse(""))
         }
       }
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum(when($"success", 1).otherwise(0)).as("ok"),
+        sum(when($"hasContent", 1).otherwise(0)).as("docs"),
+        sum(size($"spans")).as("spans"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
     batch.unpersist()
 
-    val pages = spark.read.parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
-
-    // A5/A6 metrics analogue — column-pruned scan of the written parquet
-    val m = pages.agg(
-      count(lit(1)).as("n"),
-      sum(when($"success", 1).otherwise(0)).as("ok"),
-      sum(when($"hasContent", 1).otherwise(0)).as("docs"),
-      sum(size($"spans")).as("spans")).collect()(0)
-    val scheduledCount = m.getLong(0)
+    val m = obs.get
+    val scheduledCount = m("n").asInstanceOf[Long]
     if (scheduledCount == 0) {
       return TickResult(tickIdx, 0, 0, 0, 0, done = true)
     }
+
+    val okCount = m("ok").asInstanceOf[Long]
+    val docCount = m("docs").asInstanceOf[Long]
+    val spanCount = m("spans").asInstanceOf[Long]
+    val pages = spark.read.parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
 
     // seen append (url + xxhash64 key for bucketing/Bloom)
     pages.select($"url", xxhash64($"url").as("urlHash"))
@@ -295,8 +302,8 @@ object Crawl {
       s"""{
          |  "snapshotId": ${cfg.seed ^ tickIdx},
          |  "tick": $tickIdx,
-         |  "counters": {"scheduled": $scheduledCount, "fetchedOk": ${m.getLong(1)},
-         |               "parsedDocs": ${m.getLong(2)}, "spans": ${m.getLong(3)}},
+         |  "counters": {"scheduled": $scheduledCount, "fetchedOk": $okCount,
+         |               "parsedDocs": $docCount, "spans": $spanCount},
          |  "watermarks": {
          |    $watermarks
          |  }
@@ -308,8 +315,8 @@ object Crawl {
     java.nio.file.Files.writeString(tmp.toPath, manifest)
     tmp.renameTo(new java.io.File(mdir, s"manifest_$tickIdx.json"))
 
-    val res = TickResult(tickIdx, scheduledCount, m.getLong(1), m.getLong(2),
-      m.getLong(3), done = false)
+    val res = TickResult(tickIdx, scheduledCount, okCount, docCount,
+      spanCount, done = false)
     res
   }
 

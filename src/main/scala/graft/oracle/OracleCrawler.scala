@@ -33,16 +33,14 @@ object OracleCrawler {
   def candidates(cfg: Crawl.CrawlConfig): Vector[Crawl.CrawlUnit] = {
     val qidValid = "^Q[0-9]+$".r
 
-    // frontier rows + validity + canonical dedup
+    // frontier rows + validity; precedence dedup keeps one row per qid
+    // (URL variants are identical in every kept field, so no separate
+    // canonical-dedup pass is needed — mirrors Crawl.candidateUnits)
     val frontier = (0L until cfg.nEntities).flatMap(i => World.frontierRows(cfg.seed, i))
       .filter(r => qidValid.matches(r.qid))
-      .map(r => (r, UrlCanon.canonicalize(r.url)))
-      .distinctBy { case (r, curl) => (r.qid, r.familyRank, r.pk, curl) }
-      .map(_._1)
 
-    // precedence dedup: keep min (familyRank, pk) per qid
     val deduped = frontier.groupBy(_.qid).view.mapValues(
-      _.minBy(r => (r.familyRank, r.pk))).values.toVector
+      _.minBy(r => (r.familyRank, r.pk, r.priority))).values.toVector
 
     // sitelink dimension with colliding-qid dedup by min title
     val sitelinks = (0L until cfg.nEntities)

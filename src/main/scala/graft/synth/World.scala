@@ -157,8 +157,29 @@ object World {
   /** Frontier rows for entity i: the primary family row, ~10% a second
     * (later-processed) family row (exercises precedence dedup), ~5% a
     * near-duplicate URL variant (exercises canonicalization dedup). */
+  /** Frontier-only fields of entity i — same hash streams as [[entity]]
+    * (field hashes are independent), skipping title generation entirely:
+    * the frontier never carries titles (wikipedia_crawler.py:86-95 selects
+    * only (pk, ID_WIKIDATA)). */
+  def entityFrontier(seed: Long, i: Long): Entity = {
+    val h = mix(seed, 0xE117L, i)
+    val qnum = Math.floorMod(mix(h, 1L), 90000000L) + 1000000L
+    val invalid = unit(mix(h, 2L)) < 0.03
+    val qid =
+      if (!invalid) s"Q$qnum"
+      else bounded(mix(h, 3L), 3) match {
+        case 0 => s"X$qnum"
+        case 1 => s"Q${qnum}A"
+        case _ => ""
+      }
+    val fam = families(bounded(mix(h, 4L), families.length))
+    val pk = f"${Math.floorMod(mix(h, 5L), 10000000L)}%010d"
+    val priority = bounded(mix(h, 6L), 10)
+    Entity(i, qid, fam, familyRank(fam), pk, priority, Map.empty)
+  }
+
   def frontierRows(seed: Long, i: Long): Seq[FrontierRow] = {
-    val e = entity(seed, i)
+    val e = entityFrontier(seed, i)
     val h = mix(seed, 0xF407L, i)
     val url = s"https://www.wikidata.org/wiki/${e.qid}?ref=crawl&v=1"
     val rows = Vector.newBuilder[FrontierRow]
