@@ -24,21 +24,20 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomSeen {
 
-  /** Distributed build: partition-local insert + associative merge.
+  /** Distributed build via the Catalyst-native [[BloomAggregate]]
+    * (TypedImperativeAggregate): map-side partial filters, associative
+    * OR-merge on the reducer — no RDD involved.
     *
     * `capacity` must be the SAME for every filter that will ever merge
     * (mergeInPlace requires identical bit arrays) — size it to the total
     * frontier, not the batch. */
   def build(urls: Dataset[String], capacity: Long,
             fpp: Double = 0.01): BloomFilter = {
-    val n = math.max(capacity, 1L)
-    urls.rdd
-      .mapPartitions { it =>
-        val bf = BloomFilter.create(n, fpp)
-        it.foreach(bf.putString)
-        Iterator.single(bf)
-      }
-      .fold(BloomFilter.create(n, fpp)) { (a, b) => a.mergeInPlace(b); a }
+    val bytes = urls.toDF("url")
+      .agg(BloomAggregate.bloomAgg(org.apache.spark.sql.functions.col("url"),
+        math.max(capacity, 1L), fpp))
+      .head.getAs[Array[Byte]](0)
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
 
   def bloomDir(workDir: String): Path = Paths.get(workDir, "bloom")
