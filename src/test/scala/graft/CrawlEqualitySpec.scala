@@ -116,4 +116,44 @@ class CrawlEqualitySpec extends AnyFunSuite {
     // 503-exhausted and 404 pages carry their status
     assert(pages.filter($"httpStatus" === 404).count() > 0)
   }
+
+  test("equality holds across salt/budget configurations (not tuned to one)") {
+    Seq(
+      cfg0.copy(saltBuckets = 1, budgetPerHost = 10),
+      cfg0.copy(saltBuckets = 7, budgetPerHost = 33),
+      cfg0.copy(saltBuckets = 4, budgetPerHost = 1000) // single-tick world
+    ).foreach { base =>
+      val cfg = base.copy(workDir = freshDir())
+      val o = OracleCrawler.run(cfg)
+      val r = Crawl.run(spark, cfg)
+      assert(r.length == o.batches.length, s"cfg $base tick count")
+      val sparkSeen = spark.read.parquet(Crawl.seenDir(cfg.workDir))
+        .select($"url").collect().map(_.getString(0)).toSet
+      assert(sparkSeen == o.seen, s"cfg $base seen set")
+      r.foreach { t =>
+        val batch = spark.read.parquet(s"${cfg.workDir}/pages/tick=${t.tick}")
+          .select($"doc_id", $"sortKey").collect()
+          .map(x => (x.getString(0), x.getString(1))).sortBy(_._2).map(_._1).toVector
+        assert(batch == o.batches(t.tick).map(_.docId), s"cfg $base tick ${t.tick}")
+      }
+    }
+  }
+
+  test("C6 quick mode: two disjoint sub-crawls with isolated checkpoints") {
+    // two 'containers' over disjoint entity ranges, separate state dirs;
+    // their outputs are disjoint and their union of seen-URLs is exactly
+    // the per-range seen sets (no shared-checkpoint interference)
+    val cfgA = cfg0.copy(nEntities = 120L, workDir = freshDir(), maxTicks = 50)
+    val cfgB = CrawlConfig(seed = 43L, nEntities = 120L, budgetPerHost = 24,
+      saltBuckets = 4, maxTicks = 50, workDir = freshDir())
+    Crawl.run(spark, cfgA)
+    Crawl.run(spark, cfgB)
+    val seenA = spark.read.parquet(Crawl.seenDir(cfgA.workDir))
+      .select($"url").collect().map(_.getString(0)).toSet
+    val seenB = spark.read.parquet(Crawl.seenDir(cfgB.workDir))
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(seenA.nonEmpty && seenB.nonEmpty)
+    // different seeds -> different worlds: effectively disjoint URL sets
+    assert((seenA & seenB).size.toDouble / seenA.size < 0.01)
+  }
 }
