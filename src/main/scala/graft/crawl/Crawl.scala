@@ -72,7 +72,13 @@ object Crawl {
   /** All schedulable units after validity, canonical/precedence/sitelink
     * dedup and robots gating. Pure function of (seed, nEntities) — never
     * materialized on the driver. */
-  def candidateUnits(spark: SparkSession, cfg: CrawlConfig): Dataset[CrawlUnit] = {
+  def candidateUnits(spark: SparkSession, cfg: CrawlConfig): Dataset[CrawlUnit] =
+    candidateUnits(spark, cfg, 0L, cfg.nEntities)
+
+  /** Range-restricted variant — the streaming frontier announces entity
+    * ranges per micro-batch; the same pruning a resume pk-predicate does. */
+  def candidateUnits(spark: SparkSession, cfg: CrawlConfig,
+                     from: Long, until: Long): Dataset[CrawlUnit] = {
     import spark.implicits._
 
     // S1 frontier scan (synthetic source), P1 Qid-validity filter pushed
@@ -80,7 +86,7 @@ object Crawl {
     // separate dedup shuffle: the precedence window below keeps exactly
     // one row per qid, and tied rows (the ~5% canonical-URL variants)
     // are identical in every projected column.
-    val frontier = spark.range(cfg.nEntities)
+    val frontier = spark.range(from, until)
       .flatMap(i => World.frontierRows(cfg.seed, i))
       .filter($"qid".rlike("^Q[0-9]+$"))
 
@@ -95,7 +101,7 @@ object Crawl {
     // J3 sitelink lookup join (broadcast build side; deterministic dedup of
     // colliding qids by min title keeps the join unambiguous)
     val wSite = Window.partitionBy($"qid", $"lang").orderBy($"title".asc)
-    val sitelinks = spark.range(cfg.nEntities)
+    val sitelinks = spark.range(from, until)
       .flatMap(i => World.sitelinkRows(cfg.seed, i))
       .withColumn("rn", row_number().over(wSite))
       .filter($"rn" === 1)
@@ -210,12 +216,21 @@ object Crawl {
     * re-running a tick overwrites the same tick directories byte-equal. */
   def tick(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int,
            candidatesOpt: Option[Dataset[CrawlUnit]] = None): TickResult = {
-    import spark.implicits._
-
     // candidates may be cached by run() — regenerating them per tick is
     // deterministic but wasteful (the frontier scan + dedup windows)
     val candidates = candidatesOpt.getOrElse(candidateUnits(spark, cfg))
     val fresh = filterNew(spark, candidates, cfg)
+    scheduleAndPersist(spark, cfg, tickIdx, fresh)
+  }
+
+  /** Schedule a batch from already-deduped fresh units, fetch+parse it,
+    * and persist pages + seen + Bloom + manifest. The micro-batch core
+    * shared by the batch loop ([[tick]]) and the streaming frontier
+    * (graft.streaming.StreamingCrawl). */
+  def scheduleAndPersist(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int,
+                         fresh: Dataset[CrawlUnit]): TickResult = {
+    import spark.implicits._
+
     val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
       .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
         $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")

@@ -41,4 +41,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0)
     assert(sessions.count() > 0)
   }
+
+  test("streaming frontier crawls the same world as the batch engine") {
+    import java.nio.file.Files
+    import graft.crawl.Crawl
+    import graft.crawl.Crawl.CrawlConfig
+    val seedDir = Files.createTempDirectory("graft-seeds")
+    val work = Files.createTempDirectory("graft-stream-crawl").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val cfg = CrawlConfig(seed = 42L, nEntities = 200L, budgetPerHost = 1000,
+      saltBuckets = 4, maxTicks = 10, workDir = work)
+    // two seed drops covering the whole world in disjoint ranges
+    Files.writeString(seedDir.resolve("drop1.txt"), "0,120\n")
+    Files.writeString(seedDir.resolve("drop2.txt"), "120,200\n")
+    val q = graft.streaming.StreamingCrawl.start(spark, cfg, seedDir.toString, ckpt)
+    q.awaitTermination()
+
+    // batch twin over the same world
+    val workB = Files.createTempDirectory("graft-batch-twin").toString
+    Crawl.run(spark, cfg.copy(workDir = workB))
+
+    val seenS = spark.read.parquet(Crawl.seenDir(work))
+      .select($"url").collect().map(_.getString(0)).toSet
+    val seenB = spark.read.parquet(Crawl.seenDir(workB))
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(seenS == seenB)
+    val docsS = Crawl.docsView(spark, work).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    val docsB = Crawl.docsView(spark, workB).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(docsS == docsB)
+  }
 }
