@@ -69,8 +69,13 @@ object CrawlQueries {
     }).toDF("doc_id", "http_status", "success", "n_spans")
   }
 
+  /** A3/F16 — per-language docs + main-image counts over crawl output. */
+  def crawlLangSummary(spark: SparkSession, dir: String): DataFrame =
+    Views.langSummary(spark, sharedCrawl(spark))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_tick" -> (crawlTick _),
+    "q_crawl_lang_summary" -> (crawlLangSummary _),
     "q_crawl_docs" -> (crawlDocs _),
     "q_crawl_images" -> (crawlImages _),
     "q_crawl_sections" -> (crawlSections _),
