@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality regression: the structural properties we design for must
+  * survive refactors — filters/projections reach the parquet scan,
+  * dimension joins broadcast, top-k avoids a global sort, rank-limit
+  * windows push the limit below the shuffle. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("range-resume predicate is pushed to the parquet scan") {
+    val p = plan("q_range_resume")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)"), p)
+  }
+
+  test("projection pruning: q_token_count reads only 2 columns") {
+    val p = plan("q_token_count")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("exclusion anti-join is a broadcast hash join with pushed filter") {
+    val p = plan("q_anti_join_exclusion")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
+  }
+
+  test("backfill join broadcasts the aggregated side") {
+    val p = plan("q_backfill_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("precedence dedup pushes the rank limit below the shuffle") {
+    val p = plan("q_precedence_dedup")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q1_agg does partial aggregation before its single exchange") {
+    val p = plan("q1_agg")
+    // partial + final HashAggregate pair around exactly one shuffle
+    assert("HashAggregate".r.findAllIn(p.split("\n").filter(_.contains("(")).mkString).size >= 2)
+    assert(p.contains("Exchange"), p)
+  }
+}
