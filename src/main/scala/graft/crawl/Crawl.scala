@@ -50,7 +50,12 @@ object Crawl {
       // fixed Bloom sizing: every per-tick filter must share one capacity
       // so persisted filters stay mergeable across ticks AND runs
       bloomCapacity: Long = 1L << 20,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      // C2 — global request-rate cap (reference wikipedia_http.py:45-50,
+      // 96-122: min-interval limiter, 0 disables). In distributed mode the
+      // global budget divides across fetch partitions (SURVEY.md §2.9 C2);
+      // synthetic benches leave it 0 — there is no remote to be polite to.
+      maxRps: Double = 0.0)
 
   /** One schedulable crawl unit = (entity, language) — the reference's
     * crawl unit (wikipedia_crawler.py:800). */
@@ -257,11 +262,24 @@ object Crawl {
     // A5/A6 metrics via observe(): the aggregates are computed DURING the
     // write job — no second pass over the (span-heavy) parquet
     val obs = new org.apache.spark.sql.Observation(s"tick_$tickIdx")
+    val fetchPartitions = spark.sparkContext.defaultParallelism * 3
+    val perPartitionInterval =
+      if (cfg.maxRps > 0) (fetchPartitions.toDouble / cfg.maxRps * 1e9).toLong
+      else 0L
     batch
-      .repartition(spark.sparkContext.defaultParallelism * 3, $"url")
+      .repartition(fetchPartitions, $"url")
       .as[CrawlUnitSalted]
       .mapPartitions { it =>
+        // C2 min-interval limiter, partition-local share of the global cap
+        var nextAllowed = 0L
         it.map { u =>
+          if (perPartitionInterval > 0) {
+            val now = System.nanoTime()
+            if (now < nextAllowed)
+              Thread.sleep((nextAllowed - now) / 1000000L,
+                ((nextAllowed - now) % 1000000L).toInt)
+            nextAllowed = math.max(now, nextAllowed) + perPartitionInterval
+          }
           val p = Fetcher.fetchParse(seed, u.qid, u.lang, u.title, u.family,
             u.url, u.host)
           FetchedRow(

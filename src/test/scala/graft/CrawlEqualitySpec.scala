@@ -156,4 +156,24 @@ class CrawlEqualitySpec extends AnyFunSuite {
     // different seeds -> different worlds: effectively disjoint URL sets
     assert((seenA & seenB).size.toDouble / seenA.size < 0.01)
   }
+
+  test("C2 rate limiter bounds throughput when a global rps cap is set") {
+    val cfg = cfg0.copy(workDir = freshDir(), nEntities = 60L,
+      budgetPerHost = 1000, maxTicks = 1, maxRps = 50.0)
+    val t0 = System.nanoTime()
+    val r = Crawl.tick(spark, cfg, 0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.scheduled > 0)
+    // n units at <=50 rps must take at least ~n/50 s minus scheduling slack
+    val floor = r.scheduled / 50.0 * 0.5
+    assert(sec >= floor, s"took $sec s for ${r.scheduled} units (floor $floor)")
+    // and the limited run produces the identical output as unlimited
+    val cfgU = cfg.copy(workDir = freshDir(), maxRps = 0.0)
+    Crawl.tick(spark, cfgU, 0)
+    val a = spark.read.parquet(s"${cfg.workDir}/pages/tick=0")
+      .orderBy($"doc_id").collect().toSeq
+    val b = spark.read.parquet(s"${cfgU.workDir}/pages/tick=0")
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
