@@ -120,9 +120,12 @@ object Crawl {
     val units = deduped
       .join(broadcast(sitelinks), Seq("qid"), "inner")
       .withColumn("host", concat($"lang", lit(".wikipedia.org")))
+      // F1 title→URL encoding (wikipedia_page_writer.py:76-79:
+      // quote(title.replace(' ', '_'))): underscore spaces, then
+      // percent-encode the path segment
       .withColumn("url", UrlCanon.canonCol(
         concat(lit("https://"), $"host", lit("/wiki/"),
-          translate($"title", " ", "_"))))
+          url_encode(translate($"title", " ", "_")))))
       .withColumn("docId", concat($"qid", lit(":"), $"lang"))
       .withColumn("sortKey", format_string("%01d|%02d|%s|%02d|%s",
         lit(9) - $"priority", $"familyRank", $"pk", $"langRank", $"qid"))

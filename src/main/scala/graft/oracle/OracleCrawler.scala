@@ -52,8 +52,10 @@ object OracleCrawler {
     val units = deduped.flatMap { r =>
       sitelinks.getOrElse(r.qid, Nil).map { s =>
         val host = World.hostOf(s.lang)
-        val url = UrlCanon.canonicalize(
-          s"https://$host/wiki/${s.title.replace(' ', '_')}")
+        // twin of Spark's url_encode (both are x-www-form-urlencoded)
+        val encoded = java.net.URLEncoder.encode(
+          s.title.replace(' ', '_'), "UTF-8")
+        val url = UrlCanon.canonicalize(s"https://$host/wiki/$encoded")
         Crawl.CrawlUnit(r.qid, s.lang, s.langRank, r.family, r.familyRank,
           r.pk, r.priority, s.title, url, host, s"${r.qid}:${s.lang}",
           Crawl.sortKey(r.priority, r.familyRank, r.pk, s.langRank, r.qid))

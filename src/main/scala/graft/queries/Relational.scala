@@ -160,6 +160,18 @@ object Relational {
         substring_index($"p_type", " ", 1).as("type_head"),
         lower($"p_brand").as("brand_lc"))
 
+  /** Semi-structured extraction: the engine's JSON path (API payloads in
+    * flight are JSON, SURVEY.md §1.2) — get_json_object + typed cast +
+    * aggregation over the extracted value. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        round(avg($"k"), 6).as("avg_k"))
+
   /** Hourly windowed aggregation over the events table — the batch twin of
     * the Structured Streaming tumbling-window aggregation in
     * graft.streaming (same grouping keys and aggregates). */
@@ -234,6 +246,11 @@ object Relational {
       """SELECT p_partkey, replace(p_name, ' ', '_') AS name_us,
         |  split_part(p_type, ' ', 1) AS type_head, lower(p_brand) AS brand_lc
         |FROM part""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n, sum(k) AS sum_k, round(avg(k), 6) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |WHERE k IS NOT NULL GROUP BY event_type""".stripMargin,
     "q_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
@@ -255,6 +272,7 @@ object Relational {
     "q_display_order" -> (displayOrder _),
     "q_regex_filter_extract" -> (regexFilterExtract _),
     "q_str_canon" -> (strCanon _),
+    "q_json_extract" -> (jsonExtract _),
     "q_hourly_agg" -> (hourlyAgg _)
   )
 }

@@ -120,10 +120,17 @@ object World {
     Entity(i, qid, fam, familyRank(fam), pk, priority, sitelinks)
   }
 
+  private val accentedWords = Vector("Café", "Vérité", "Señora", "Łódź", "Ostrava–Poruba")
+
   def pageTitle(entityHash: Long, lang: String): String = {
     val h = mix(entityHash, 11L, hashStr(lang))
-    val base = words(h, 2 + bounded(mix64(h), 3)).split(" ")
+    val base0 = words(h, 2 + bounded(mix64(h), 3)).split(" ")
       .map(_.capitalize).mkString(" ")
+    // ~4% titles carry non-ASCII (exercises F1 percent-encoding)
+    val base =
+      if (unit(mix(h, 15L)) < 0.04)
+        accentedWords(bounded(mix(h, 16L), accentedWords.length)) + " " + base0
+      else base0
     // ~10% titles carry an intra-title " - " (exercises en-dash escape)
     if (unit(mix(h, 12L)) < 0.10) base + " - " + (1900 + bounded(mix(h, 13L), 120))
     else base
