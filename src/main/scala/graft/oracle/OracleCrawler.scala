@@ -62,7 +62,12 @@ object OracleCrawler {
       }
     }.filter { u =>
       val letter = u.title.headOption.getOrElse('_').toLower
-      World.robotsAllowed(cfg.seed, u.host, s"/wiki/$letter")
+      // mirror the robots DIMENSION join: rules exist only for [a-z_];
+      // any other first letter (e.g. 'ł') has no rule row → allowed
+      // (the Spark side's left-join + coalesce(true))
+      if ((letter >= 'a' && letter <= 'z') || letter == '_')
+        World.robotsAllowed(cfg.seed, u.host, s"/wiki/$letter")
+      else true
     }
 
     // distinct canonical URL, keep first in crawl order
