@@ -27,5 +27,6 @@ object SparkEntry {
       graft.ops.TextOps.oracle ++
       graft.ops.DedupOps.oracle ++
       graft.ops.AnnOps.oracle ++
-      graft.ops.MultimodalOps.oracle
+      graft.ops.MultimodalOps.oracle ++
+      graft.queries.CrawlQueries.oracle
 }

@@ -195,8 +195,13 @@ object Crawl {
       .getOrElse(graft.dedup.BloomSeen.build(
         seen.as[String], cfg.bloomCapacity, cfg.bloomFpp))
     val bc = spark.sparkContext.broadcast(bloom)
-    val definitelyNew = units.filter(u => !bc.value.mightContainString(u.url))
-    val suspected = units.filter(u => bc.value.mightContainString(u.url))
+    // probe the broadcast filter as a COLUMN (one udf over url, codegen'd
+    // scan) rather than two typed filters that would each deserialize the
+    // full CrawlUnit object per row
+    val bloomHit = udf((url: String) => bc.value.mightContainString(url))
+    val tagged = units.withColumn("__hit", bloomHit($"url"))
+    val definitelyNew = tagged.filter(!$"__hit").drop("__hit").as[CrawlUnit]
+    val suspected = tagged.filter($"__hit").drop("__hit").as[CrawlUnit]
     val confirmedNew = suspected.join(seen, Seq("url"), "left_anti").as[CrawlUnit]
     definitelyNew.unionByName(confirmedNew)
   }
@@ -356,6 +361,33 @@ object Crawl {
     res
   }
 
+  /** M7 crash recovery: a tick is COMMITTED only by its manifest (written
+    * last, atomic rename). Pages/seen/Bloom outputs for ticks ≥
+    * completedTicks are partial writes from a crashed run; left in place
+    * they would poison the replay — the replayed tick would filter against
+    * its own half-persisted seen rows, schedule the NEXT batch under the
+    * same tick index, and `run()` would start from a wrong crawled count.
+    * Deleting them makes the replay reproduce the oracle batch exactly
+    * (the keyed-write idempotence argument, README.md:506-516). */
+  def cleanPartialTicks(workDir: String): Unit = {
+    val committed = completedTicks(workDir)
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec)
+      f.delete()
+    }
+    def sweep(dir: java.io.File, suffix: String): Unit =
+      if (dir.exists) dir.listFiles().foreach { f =>
+        val n = f.getName
+        if (n.startsWith("tick=") && n.endsWith(suffix)) {
+          val t = n.stripPrefix("tick=").stripSuffix(suffix)
+          if (t.matches("\\d+") && t.toInt >= committed) rmRec(f)
+        }
+      }
+    sweep(new java.io.File(s"$workDir/pages"), "")
+    sweep(new java.io.File(seenDir(workDir)), "")
+    sweep(graft.dedup.BloomSeen.bloomDir(workDir).toFile, ".bloom")
+  }
+
   /** Resume point: ticks already fully persisted (manifest present). */
   def completedTicks(workDir: String): Int = {
     val mdir = new java.io.File(s"$workDir/manifests")
@@ -370,6 +402,7 @@ object Crawl {
     * persisted manifest — the M7 protocol: the seen table is the state,
     * manifests are the watermark lineage. */
   def run(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
+    cleanPartialTicks(cfg.workDir) // drop half-persisted state before resume
     val start = completedTicks(cfg.workDir)
     val candidates = candidateUnits(spark, cfg).cache()
     val total = candidates.count()

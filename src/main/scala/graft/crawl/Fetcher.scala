@@ -40,9 +40,12 @@ object Fetcher {
     val docId = s"$qid:$lang"
 
     // retry loop (deterministic): transientFailures 503s precede the final
-    // status; if they exceed the retry budget the fetch fails with 503.
+    // status; if they EXCEED the retry budget the fetch fails with 503.
+    // urllib3 Retry(total=3) permits 3 retries AFTER the initial attempt
+    // (4 attempts total, wikipedia_http.py:62-72), so exactly-maxRetries
+    // transients followed by a 200 still succeeds.
     val (status, success) =
-      if (plan.transientFailures >= maxRetries) (503, false)
+      if (plan.transientFailures > maxRetries) (503, false)
       else (plan.httpStatus, plan.httpStatus == 200)
 
     if (!success || !plan.hasContent) {
@@ -60,8 +63,9 @@ object Fetcher {
           UiChrome.isAcceptableMainImageUrl(plan.leadImageUrl)) plan.leadImageUrl
       else ""
 
-    // sections: markup → parser → writer rules
-    val markup = World.renderMarkup(plan.blocks)
+    // ONE rendered-HTML document serves sections AND captions (the
+    // reference's Phase-1b single-fetch: wikipedia_page_writer.py:74-75)
+    val markup = World.renderPage(plan)
     val sections = SectionParser.toSectionRows(
       SectionParser.extractTitlesAndText(markup))
 
@@ -79,9 +83,17 @@ object Fetcher {
       .filter(_.mime.startsWith("image/"))
       .zipWithIndex.map { case (ip, idx) => (idx + 1, ip) }
 
+    // J7 — captions extracted from the rendered HTML by the ancestor-walk
+    // matcher (wikipedia_images.py:409-515), keyed by the URL-derived
+    // filename; ONE DOM parse per page answers every gallery lookup
+    def fileNameOf(url: String) = url.substring(url.lastIndexOf('/') + 1)
+    val captions = graft.parse.CaptionMatcher.captionsFor(
+      markup, gallery.map { case (_, ip) => fileNameOf(ip.url) }.distinct)
+
     val spans =
       sections.map { case (ord, _, content) => Span("section", content, "", ord) } ++
-      gallery.map { case (ord, ip) => Span("image", ip.caption, ip.url, ord) }
+      gallery.map { case (ord, ip) =>
+        Span("image", captions.getOrElse(fileNameOf(ip.url), ""), ip.url, ord) }
 
     ParsedPage(
       FetchResult(docId, url, host, status, success = true, hasContent = true,

@@ -29,6 +29,20 @@ object AnnOps {
 
   // Sign-LSH bucketing lives in Sigs.signBucket (typed one-pass kernel).
 
+  /** Expected rows per sign-LSH bucket when the hash is adaptively sized. */
+  val targetBucketSize = 256L
+
+  /** Hash width so expected bucket occupancy ≈ [[targetBucketSize]]:
+    * ceil(log2(n / target)), floored at 6 bits (64 buckets) and capped at
+    * 48. A FIXED width is a scale bug — candidate pairs grow O(n²/2^bits),
+    * quadratic again at 10^10 rows; adaptive width keeps the per-bucket
+    * join quadratic only in a constant (256² per bucket). */
+  def adaptiveNBits(n: Long, target: Long = targetBucketSize, floor: Int = 6): Int = {
+    val buckets = math.max(1L, n / target)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(48, math.max(floor, bits))
+  }
+
   /** q_ann_brute — exact cosine top-k per query vector. Query set = the
     * first `nQueries` vec_ids (broadcast); base = the full table. */
   def bruteTopK(spark: SparkSession, dir: String,
@@ -48,19 +62,22 @@ object AnnOps {
 
   /** q_ann_lsh — the scale path: bucket base vectors by sign-LSH, probe
     * only the query's bucket (plus Hamming-1 neighbor buckets), exact
-    * cosine within. Recall measured against bruteTopK in tests. */
+    * cosine within. Recall measured against bruteTopK in tests.
+    * nBits ≤ 0 (default) = adaptive width from the table count, see
+    * [[adaptiveNBits]]. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-              k: Int = 10, nBits: Int = 6): DataFrame = {
+              k: Int = 10, nBits: Int = 0): DataFrame = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, Sigs.signBucket(v, nBits)) }
+    val base = t(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val bits = if (nBits > 0) nBits else adaptiveNBits(base.count())
+    val emb = base.as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, Sigs.signBucket(v, bits)) }
       .toDF("vec_id", "embedding", "bucket")
     val queries = emb.filter($"vec_id" < nQueries)
       .as[(Long, Seq[Float], Long)]
       // multi-probe: own bucket + all Hamming-1 neighbor buckets
       .flatMap { case (id, v, bkt) =>
-        (bkt +: (0 until nBits).map(i => bkt ^ (1L << i)))
+        (bkt +: (0 until bits).map(i => bkt ^ (1L << i)))
           .distinct.map(p => (id, v, p)) }
       .toDF("query_id", "qv", "bucket")
     val scored = emb.join(broadcast(queries), Seq("bucket"))

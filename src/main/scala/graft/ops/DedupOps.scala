@@ -36,13 +36,6 @@ object DedupOps {
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("group_size"))
       .filter($"group_size" > 1)
 
-  private def shingleDF(spark: SparkSession, dir: String) = {
-    import spark.implicits._
-    t(spark, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, tx) => (id, Sigs.shingles(tx).sorted) }
-      .toDF("doc_id", "sh")
-  }
-
   private def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
 
@@ -52,23 +45,28 @@ object DedupOps {
                    b: Int = 16, r: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
-    // one pass per doc: signature → band keys (no shingle explode)
-    val banded = t(spark, dir, "documents")
+    // ONE shingle+signature pass per doc, persisted: band generation and
+    // BOTH sides of the verify join reuse it. (Previously the shingle set
+    // was recomputed 3× per doc — once for the signature, once per verify
+    // side; at 10^10 docs the shingling IS the dominant CPU cost.)
+    val sigs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, tx) =>
-        Sigs.bands(Sigs.minhash(tx, b * r), b, r).map(bk => (id, bk)) }
-      .toDF("doc_id", "bandKey")
+      .map { case (id, tx) =>
+        val sh = Sigs.shingles(tx).sorted
+        (id, sh, Sigs.bands(Sigs.minhashOfShingles(sh, b * r), b, r)) }
+      .toDF("doc_id", "sh", "bandKeys")
+      .persist()
 
+    val banded = sigs.select($"doc_id", explode($"bandKeys").as("bandKey"))
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("bandKey"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    val sh = shingleDF(spark, dir)
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -114,13 +112,19 @@ object DedupOps {
 
   /** q_embedding_neardup — near-duplicate pairs by embedding cosine via
     * sign-LSH bucketing, verified with exact cosine ≥ threshold.
-    * Brute-force cosine is the test-time baseline (AnnOps.cosine). */
+    * Brute-force cosine is the test-time baseline (AnnOps.cosine).
+    *
+    * nBits ≤ 0 (the default) sizes the hash adaptively from the table count
+    * so expected bucket occupancy stays ~[[AnnOps.targetBucketSize]]: a
+    * fixed width would make candidate generation O(n²/2^bits) — quadratic
+    * again at 10^10 rows. The count is one metadata-cheap scan. */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       nBits: Int = 6, threshold: Double = 0.25): DataFrame = {
+                       nBits: Int = 0, threshold: Double = 0.25): DataFrame = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, Sigs.signBucket(v, nBits)) }
+    val base = t(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val bits = if (nBits > 0) nBits else AnnOps.adaptiveNBits(base.count())
+    val emb = base.as[(Long, Seq[Float])]
+      .map { case (id, v) => (id, v, Sigs.signBucket(v, bits)) }
       .toDF("vec_id", "embedding", "bucket")
     emb.as("a").join(emb.as("b"), Seq("bucket"))
       .filter($"a.vec_id" < $"b.vec_id")
@@ -144,5 +148,23 @@ object DedupOps {
     "q_dedup_prefix" ->
       """SELECT md5(substr(text, 1, 20)) AS fp, min(doc_id) AS keeper,
         |  count(*) AS group_size
-        |FROM documents GROUP BY md5(substr(text, 1, 20)) HAVING count(*) > 1""".stripMargin)
+        |FROM documents GROUP BY md5(substr(text, 1, 20)) HAVING count(*) > 1""".stripMargin,
+    // independent twin of the shingle kernel: word 3-grams (whole text when
+    // <3 words), distinct, Jaccard = |∩|/|∪| rounded BEFORE the threshold
+    // filter — exactly Sigs.shingles + DedupOps.jaccard
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 20) AS blk,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' '))) END AS sh
+        |  FROM (SELECT doc_id, text,
+        |          regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin)
 }

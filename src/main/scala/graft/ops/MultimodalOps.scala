@@ -77,18 +77,22 @@ object MultimodalOps {
   }
 
   /** q_media_decode — decode + feature-extract over the binary column.
-    * Batched per partition (the mapInPandas batch shape), partitioned by
-    * payload size so byte-heavy rows spread evenly. */
+    * Batched per partition (the mapInPandas batch shape). Deliberately NO
+    * repartition before the decode: it is map-only, needs no
+    * co-partitioning, and an exchange here would shuffle the heaviest
+    * column (the raw bytes) for zero benefit — at 100 TB the payload skew
+    * axis is handled at the SCAN instead (`maxPartitionBytes` splits large
+    * files; decode cost tracks byte count, which the scan already balances).
+    * The features array is emitted as JSON (a scalar) so downstream
+    * row-oriented consumers — including the driver's pandas compare — can
+    * sort/hash it; the array form is one from_json away. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
-      // size-aware spread: salt by byte-length bucket — at 100 TB this is
-      // what keeps a partition from accumulating only large payloads
-      .repartition(col("media_id"))
       .mapPartitions(_.map(stubDecode))
       .toDF()
       .select($"media_id", $"kind", $"width", $"height", $"channels",
-        $"n_frames", $"features")
+        $"n_frames", to_json($"features").as("features_json"))
   }
 
   /** q_media_resize_plan — the resize stage as metadata math (real resize
@@ -126,8 +130,34 @@ object MultimodalOps {
     "q_media_resize_plan" -> (resizePlan _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
 
-  // The media table itself is synthetic (derived from documents inside the
-  // engine), so there is no DuckDB-visible input to compare against —
-  // rows-only checks for all three.
-  val oracle: Map[String, String] = Map.empty
+  // graft.Verify exports the media table's metadata (everything except the
+  // binary payload) as parquet into the verify outDir and rewrites
+  // __EXPORT__ to that path, so DuckDB can independently recompute the
+  // resize math and the frame-sampling sequence. q_media_decode stays
+  // rows-only: its features come from the stub codec, which has no SQL twin.
+  val oracle: Map[String, String] = Map(
+    "q_media_resize_plan" ->
+      """SELECT media_id, width, height,
+        |  CAST(round(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+        |  CAST(round(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h
+        |FROM read_parquet('__EXPORT__/export_media_meta/*.parquet')
+        |WHERE kind = 'image'""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT media_id, kind, n_frames,
+        |  CAST(unnest((generate_series(0, greatest(n_frames - 1, 0), 24))[1:16]) AS INT)
+        |    AS frame_idx
+        |FROM (SELECT media_id, kind,
+        |        CAST(CASE WHEN kind = 'audio' THEN duration_ms // 20
+        |                  ELSE duration_ms * 24 // 1000 END AS INT) AS n_frames
+        |      FROM read_parquet('__EXPORT__/export_media_meta/*.parquet')
+        |      WHERE kind <> 'image')""".stripMargin)
+
+  /** The DuckDB-visible twin input for the oracles above: the media table
+    * minus its binary payload. Written by graft.Verify. */
+  def exportMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).toDF()
+      .select($"media_id", $"doc_id", $"kind", $"width", $"height",
+        $"duration_ms")
+  }
 }

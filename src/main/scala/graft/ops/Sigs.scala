@@ -25,8 +25,14 @@ object Sigs {
   }
 
   /** MinHash signature: k permutations h_i(s) = mix(hash(s), i). */
-  def minhash(text: String, k: Int): Array[Long] = {
-    val hs = shingles(text).map(hashStr)
+  def minhash(text: String, k: Int): Array[Long] =
+    minhashOfShingles(shingles(text), k)
+
+  /** MinHash over an already-computed shingle set — lets callers compute
+    * shingles ONCE per doc and reuse them for both banding and the exact
+    * Jaccard verify (was: 3 shingle passes per doc per query). */
+  def minhashOfShingles(sh: Array[String], k: Int): Array[Long] = {
+    val hs = sh.map(hashStr)
     Array.tabulate(k) { i =>
       var m = Long.MaxValue
       var j = 0

@@ -89,36 +89,95 @@ object TextOps {
       $"doc_id",
       xxhash64(regexp_replace(trim($"text"), "\\s+", " ")).as("fingerprint"))
 
-  /** F8 — HTML tag strip + entity unescape (wikipedia_images.py:524-529):
-    * tag removal is a column expression; entity unescape covers the
-    * named/numeric entities the reference's html.unescape handles for
-    * caption text (the common five + decimal/hex numeric forms). */
-  def stripHtml(html: Column): Column = {
-    val noTags = regexp_replace(html, "<[^>]+>", "")
-    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
-    trim(named.foldLeft(noTags) { case (c, (e, r)) =>
-      regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r))
-    })
-  }
+  /** F8 — entity unescape, the pure-Scala kernel
+    * (wikipedia_images.py:524-529 uses Python's `html.unescape`): ONE
+    * left-to-right pass over `&(named|#dec|#xhex);` — single-pass matters:
+    * "&amp;#51;" must decode to "&#51;", not "3". Named coverage is the
+    * subset the caption/HTML paths emit (the common six); numeric
+    * references follow the WHATWG HTML numeric-charref rules that
+    * html.unescape implements: C1 codepoints 0x80-0x9F map through the
+    * windows-1252 table, 0x00/out-of-range/surrogates → U+FFFD, 0x0D → CR. */
+  private val EntityRe =
+    "&(?:(amp|lt|gt|quot|nbsp)|#([0-9]+)|#[xX]([0-9a-fA-F]+));".r
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "nbsp" -> " ")
+
+  /** WHATWG numeric-charref replacement table (C1 → windows-1252), the
+    * `_invalid_charrefs` quirk html.unescape applies. */
+  private val c1Charrefs: Map[Int, String] = Map(
+    0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„",
+    0x85 -> "…", 0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ",
+    0x89 -> "‰", 0x8a -> "Š", 0x8b -> "‹", 0x8c -> "Œ",
+    0x8e -> "Ž", 0x91 -> "‘", 0x92 -> "’", 0x93 -> "“",
+    0x94 -> "”", 0x95 -> "•", 0x96 -> "–", 0x97 -> "—",
+    0x98 -> "˜", 0x99 -> "™", 0x9a -> "š", 0x9b -> "›",
+    0x9c -> "œ", 0x9e -> "ž", 0x9f -> "Ÿ")
+
+  private def decodeCodepoint(cp: Int): String =
+    if (cp == 0x0d) "\r"
+    else if (cp == 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) "�"
+    else c1Charrefs.getOrElse(cp, new String(Character.toChars(cp)))
+
+  def unescapeHtml(s: String): String =
+    if (s == null || s.indexOf('&') < 0) s
+    else EntityRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) != null) namedEntities(m.group(1))
+        else if (m.group(2) != null) {
+          val d = m.group(2)
+          decodeCodepoint(if (d.length > 7) 0x110000 else d.toInt)
+        } else {
+          val h = m.group(3)
+          decodeCodepoint(if (h.length > 6) 0x110000 else Integer.parseInt(h, 16))
+        }))
+
+  private val unescapeUdf = udf(unescapeHtml _)
+
+  /** F8 — HTML tag strip + entity unescape as a column: tag removal stays a
+    * codegen'd regexp_replace; the unescape is the single-pass Scala kernel
+    * above (a udf — numeric charrefs have no built-in column form, and this
+    * runs only on caption-sized strings, never in a scan hot path). */
+  def stripHtml(html: Column): Column =
+    trim(unescapeUdf(regexp_replace(html, "<[^>]+>", "")))
 
   /** F9 — lang-tagged fragment extraction (wikipedia_images.py:531-549):
-    * pull the text of elements explicitly tagged lang="xx", newline-joined. */
+    * pull the text of elements explicitly tagged lang="xx", newline-joined.
+    * Tag-strip + trim run per fragment inside the codegen'd HOF lambda (a
+    * udf cannot reference a lambda variable); the entity unescape runs once
+    * on the joined result — entities never span fragments, so the result
+    * is identical. */
   def extractLangText(html: Column, lang: String): Column = {
     // backreference \1 closes the SAME tag that opened (the reference's
     // (?P=tag) group, wikipedia_images.py:539-542)
     val re = "(?is)<([^\\s>/]+)[^>]*\\blang=['\"]" +
       java.util.regex.Pattern.quote(lang) + "['\"][^>]*>(.*?)</\\1>"
-    array_join(
+    unescapeUdf(array_join(
       transform(regexp_extract_all(html, lit(re), lit(2)),
-        f => stripHtml(f)), "\n")
+        f => trim(regexp_replace(f, "<[^>]+>", ""))), "\n"))
+  }
+
+  /** q_html_strip — F8+F9 under the driver signal: synthetic HTML built
+    * around each document's text, stripped + lang-extracted; the DuckDB
+    * twin decodes the (constant) entities with chr() and recomputes both
+    * columns from the raw text. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<p lang=\"en\">"), $"text",
+      lit("</p><span class=\"x\">note &amp; &#233;tude &#x2014; fin&nbsp;ok</span>"))
+    t(spark, dir, "documents").select(
+      $"doc_id",
+      stripHtml(html).as("stripped"),
+      extractLangText(html, "en").as("en_text"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_token_count" -> (tokenCount _),
-    "q_fingerprint" -> (fingerprint _))
+    "q_fingerprint" -> (fingerprint _),
+    "q_html_strip" -> (htmlStrip _))
 
   val oracle: Map[String, String] = Map(
     "q_lang_id" -> {
@@ -158,5 +217,13 @@ object TextOps {
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
         |    AS n_bpe_segments
+        |FROM documents""".stripMargin,
+    // the twin decodes the query's constant entities with chr():
+    // &amp;→&, &#233;→é(233), &#x2014;→—(8212), &nbsp;→NBSP(160)
+    "q_html_strip" ->
+      """SELECT doc_id,
+        |  trim(text || 'note & ' || chr(233) || 'tude ' || chr(8212)
+        |       || ' fin' || chr(160) || 'ok') AS stripped,
+        |  trim(text) AS en_text
         |FROM documents""".stripMargin)
 }

@@ -2,42 +2,72 @@ package graft.queries
 
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.ColSyntax._
 import graft.crawl.{Crawl, Fetcher, Views}
 import graft.crawl.Crawl.CrawlConfig
+import graft.store.MergeStore
+import graft.synth.World
 
-/** Driver-visible entry points for the crawl engine (rows-only checks —
-  * the crawl world is synthesized in-engine, so DuckDB has no input table
-  * to oracle against; exact-equality guarantees live in
-  * graft.CrawlEqualitySpec against the single-threaded oracle). */
+/** Driver-visible entry points for the crawl engine.
+  *
+  * The crawl world is synthesized in-engine, so DuckDB has no *input* table
+  * — instead graft.Verify exports the crawl world (flattened pages, spans,
+  * sections, frontier) as parquet into the verify outDir and rewrites the
+  * `__EXPORT__` token in [[oracle]] to that path. Each view below then gets
+  * a HARD DuckDB check: the relational logic (explode, joins, windows,
+  * filename/thumbnail derivation, writeback merge) is recomputed
+  * independently by DuckDB over those exports. Exact crawl-ordering /
+  * seen-set / span equality vs the single-threaded oracle lives in
+  * graft.CrawlEqualitySpec.
+  */
 object CrawlQueries {
+
+  /** The one shared crawl configuration (queries + exports must agree). */
+  val sharedCfg: CrawlConfig = CrawlConfig(seed = 42L, nEntities = 400L,
+    budgetPerHost = 64, saltBuckets = 4, maxTicks = 12, workDir = "")
 
   /** One full mini-crawl shared by the view queries below (memoized per
     * JVM: the world is deterministic, one crawl serves all views). */
   @volatile private var shared: Option[String] = None
-  private def sharedCrawl(spark: SparkSession): String = synchronized {
+  def sharedCrawl(spark: SparkSession): String = synchronized {
     shared.getOrElse {
       val work = Files.createTempDirectory("graft-crawl-shared").toString
-      Crawl.run(spark, CrawlConfig(seed = 42L, nEntities = 400L,
-        budgetPerHost = 64, saltBuckets = 4, maxTicks = 12, workDir = work))
+      Crawl.run(spark, sharedCfg.copy(workDir = work))
       shared = Some(work)
       work
     }
   }
 
-  /** One mini-crawl tick batch: 2 ticks over a 150-entity world. */
+  /** One mini-crawl tick batch: 2 ticks over a 150-entity world. Scalar
+    * projection (span payload summarized as a count) so the driver's
+    * row-oriented compare can sort and hash the result. */
   def crawlTick(spark: SparkSession, dir: String): DataFrame = {
     val work = Files.createTempDirectory("graft-crawl-q").toString
     val cfg = CrawlConfig(seed = 42L, nEntities = 150L, budgetPerHost = 16,
       saltBuckets = 4, maxTicks = 2, workDir = work)
     Crawl.run(spark, cfg)
     spark.read.parquet(s"$work/pages")
+      .select($"doc_id", $"url", $"host", $"family",
+        $"httpStatus".as("http_status"), $"success",
+        $"hasContent".as("has_content"), $"mainImageUrl".as("main_image_url"),
+        size($"spans").as("n_spans"), $"tick")
   }
 
-  /** The consolidated interleaved-document table (input_hint shape):
-    * (doc_id, spans array<struct<kind,text,media_ref,offset>>). */
+  /** The consolidated interleaved-document table (input_hint shape) with
+    * the span sequence fingerprinted: md5 over (kind, text, media_ref,
+    * offset) in array order — the span-sequence invariant as ONE hashable
+    * scalar per doc, recomputed independently by the DuckDB oracle via
+    * string_agg over the flattened span export. */
   def crawlDocs(spark: SparkSession, dir: String): DataFrame =
     Crawl.docsView(spark, sharedCrawl(spark)).toDF()
+      .select(
+        $"doc_id",
+        size($"spans").cast("long").as("n_spans"),
+        md5(concat_ws("\u0002", transform($"spans", s =>
+          concat_ws("\u0001", s.getField("kind"), s.getField("text"),
+            s.getField("media_ref"), s.getField("offset"))))).as("spans_fp"))
 
   /** Gallery view with IS_MAIN_IMAGE flag + thumbnail derivation (J4/F7). */
   def crawlImages(spark: SparkSession, dir: String): DataFrame =
@@ -56,8 +86,7 @@ object CrawlQueries {
     * the world and fetches just that entity's units. */
   def refreshOne(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cfg = CrawlConfig(seed = 42L, nEntities = 400L, budgetPerHost = 64,
-      saltBuckets = 4, maxTicks = 1, workDir = "")
+    val cfg = sharedCfg.copy(maxTicks = 1)
     val seed = cfg.seed
     val one = Crawl.candidateUnits(spark, cfg)
       .orderBy($"sortKey").limit(4) // the first entity's units in crawl order
@@ -73,6 +102,53 @@ object CrawlQueries {
   def crawlLangSummary(spark: SparkSession, dir: String): DataFrame =
     Views.langSummary(spark, sharedCrawl(spark))
 
+  /** M5 — per-family writeback: build the dimension store from the shared
+    * crawl (seed generation + one generation per language via
+    * [[graft.store.Writeback]]) and return its merged view. */
+  def writebackDim(spark: SparkSession, dir: String): DataFrame = {
+    val work = sharedCrawl(spark)
+    val dims = s"$work/dims"
+    synchronized {
+      if (!new java.io.File(dims).exists())
+        graft.store.Writeback.writeDims(spark, sharedCfg.copy(workDir = work), dims)
+    }
+    graft.store.Writeback.dimView(spark, dims)
+  }
+
+  // ---- MergeStore under the hard signal (S9/S10/M1/M4) ---------------------
+
+  /** Deterministic ingest generations derived from the documents table so
+    * the DuckDB oracle can RECONSTRUCT them in SQL: gen g ∈ {0,1,2} holds
+    * doc_id iff (doc_id+g) % 3 ≠ 0 (every key in exactly 2 generations),
+    * val drifts per generation, the sticky column is NULL on (doc_id+g) %
+    * 4 = 0, the creation column is stamped per generation. */
+  private def mergeGeneration(spark: SparkSession, dir: String, g: Int): DataFrame =
+    Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .filter(pmod($"doc_id" + g, lit(3)) =!= 0)
+      .select(
+        $"doc_id",
+        ($"n_chars" + g * 10).as("val"),
+        when(pmod($"doc_id" + g, lit(4)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("img_"), $"doc_id", lit(s"_$g"))).as("main_img"),
+        lit(s"c$g").as("dat_creat"))
+
+  private def mergeStoreDir(spark: SparkSession, dir: String): String = synchronized {
+    val store = Files.createTempDirectory("graft-merge-q").toString
+    (0 to 2).foreach(g => MergeStore.ingest(mergeGeneration(spark, dir, g), store))
+    store
+  }
+
+  /** S10/W3 — plain keep-latest merge view (latest generation wins). */
+  def mergeLatest(spark: SparkSession, dir: String): DataFrame =
+    MergeStore.mergedView(spark, mergeStoreDir(spark, dir), keys = Seq("doc_id"))
+
+  /** M1+M4 — merge view with creation preservation (first gen's dat_creat)
+    * and sticky never-blank main_img (latest NON-NULL wins). */
+  def mergeCreationSticky(spark: SparkSession, dir: String): DataFrame =
+    MergeStore.mergedView(spark, mergeStoreDir(spark, dir), keys = Seq("doc_id"),
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_tick" -> (crawlTick _),
     "q_crawl_lang_summary" -> (crawlLangSummary _),
@@ -80,5 +156,113 @@ object CrawlQueries {
     "q_crawl_images" -> (crawlImages _),
     "q_crawl_sections" -> (crawlSections _),
     "q_crawl_image_freq" -> (crawlImageFreq _),
-    "q_refresh_one" -> (refreshOne _))
+    "q_refresh_one" -> (refreshOne _),
+    "q_writeback_dim" -> (writebackDim _),
+    "q_merge_latest" -> (mergeLatest _),
+    "q_merge_creation_sticky" -> (mergeCreationSticky _))
+
+  private val genSql =
+    """SELECT doc_id, gen, n_chars + gen * 10 AS val,
+      |      CASE WHEN (doc_id + gen) % 4 = 0 THEN NULL
+      |           ELSE 'img_' || doc_id || '_' || gen END AS main_img,
+      |      'c' || gen AS dat_creat
+      |    FROM documents CROSS JOIN (VALUES (0), (1), (2)) v(gen)
+      |    WHERE (doc_id + gen) % 3 <> 0""".stripMargin
+
+  /** DuckDB oracles. `__EXPORT__` is rewritten by graft.Verify to the
+    * outDir holding the crawl-world exports (see [[Exports]]);
+    * q_crawl_tick stays rows-only (its 150-entity world is private to the
+    * query — the 400-entity shared world is the exported one). */
+  val oracle: Map[String, String] = Map(
+    "q_crawl_lang_summary" ->
+      """SELECT split_part(doc_id, ':', 2) AS lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN main_image_url <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_main_images
+        |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+        |WHERE has_content GROUP BY 1""".stripMargin,
+    "q_crawl_docs" ->
+      """SELECT doc_id, count(*) AS n_spans,
+        |  md5(string_agg(kind || chr(1) || text || chr(1) || media_ref || chr(1) || "offset",
+        |      chr(2) ORDER BY CASE kind WHEN 'section' THEN 0 ELSE 1 END, "offset"))
+        |    AS spans_fp
+        |FROM read_parquet('__EXPORT__/export_crawl_spans/*.parquet')
+        |GROUP BY doc_id""".stripMargin,
+    "q_crawl_images" ->
+      // file_name: the synthetic gallery URLs carry no percent-escapes
+      // (asserted by ViewsSpec), so Spark's url_decode is the identity here
+      // and the oracle takes the raw last path segment
+      """SELECT s.doc_id, s.offset AS display_order, s.media_ref AS image_url,
+        |  s.text AS caption,
+        |  regexp_extract(s.media_ref, '([^/]*)$', 1) AS file_name,
+        |  CASE WHEN regexp_matches(s.media_ref,
+        |         '^https://[^/]+/wikipedia/commons/[^/]+/[^/]+/[^/]+$')
+        |    THEN regexp_replace(s.media_ref,
+        |         '^(https://[^/]+/wikipedia/commons)/([^/]+)/([^/]+)/([^/]+)$',
+        |         '\1/thumb/\2/\3/\4/320px-\4')
+        |    ELSE s.media_ref END AS thumbnail_url,
+        |  (s.media_ref = p.main_image_url AND p.main_image_url <> '') AS is_main_image
+        |FROM read_parquet('__EXPORT__/export_crawl_spans/*.parquet') s
+        |JOIN read_parquet('__EXPORT__/export_crawl_pages/*.parquet') p USING (doc_id)
+        |WHERE s.kind = 'image' AND p.has_content""".stripMargin,
+    "q_crawl_sections" ->
+      """SELECT r.doc_id, r.display_order, r.title, s.text AS content
+        |FROM read_parquet('__EXPORT__/export_crawl_sections/*.parquet') r
+        |JOIN read_parquet('__EXPORT__/export_crawl_spans/*.parquet') s
+        |  ON s.doc_id = r.doc_id AND s.kind = 'section'
+        |  AND s.offset = r.display_order""".stripMargin,
+    "q_crawl_image_freq" ->
+      """SELECT file_name, count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows
+        |FROM (SELECT s.doc_id, regexp_extract(s.media_ref, '([^/]*)$', 1) AS file_name
+        |      FROM read_parquet('__EXPORT__/export_crawl_spans/*.parquet') s
+        |      JOIN read_parquet('__EXPORT__/export_crawl_pages/*.parquet') p USING (doc_id)
+        |      WHERE s.kind = 'image' AND p.has_content)
+        |GROUP BY 1 ORDER BY n_docs DESC, file_name ASC LIMIT 20""".stripMargin,
+    "q_refresh_one" ->
+      """SELECT p.doc_id, p.http_status, p.success, p.n_spans
+        |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet') p
+        |JOIN (SELECT doc_id
+        |      FROM read_parquet('__EXPORT__/export_crawl_frontier/*.parquet')
+        |      ORDER BY sort_key LIMIT 4) f USING (doc_id)""".stripMargin,
+    "q_writeback_dim" -> {
+      val fams = World.familiesWithImages.toSeq.sorted
+        .map(f => s"'$f'").mkString(", ")
+      s"""WITH frontier AS (
+         |  SELECT DISTINCT family, qid
+         |  FROM read_parquet('__EXPORT__/export_crawl_frontier/*.parquet')
+         |  WHERE family IN ($fams)
+         |), img AS (
+         |  SELECT family, qid, main_image_url AS image_url FROM (
+         |    SELECT family, split_part(doc_id, ':', 1) AS qid, main_image_url,
+         |      row_number() OVER (PARTITION BY family, split_part(doc_id, ':', 1)
+         |        ORDER BY lang_rank DESC) AS rn
+         |    FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+         |    WHERE has_content AND main_image_url <> '') WHERE rn = 1
+         |), fmt AS (
+         |  SELECT split_part(doc_id, ':', 1) AS qid, format_line
+         |  FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+         |  WHERE family = 'movie' AND split_part(doc_id, ':', 2) = 'fr'
+         |    AND has_content AND format_line <> ''
+         |)
+         |SELECT fr.family, fr.qid, i.image_url,
+         |  CASE WHEN fr.family = 'movie' THEN f.format_line END AS format_line
+         |FROM frontier fr
+         |LEFT JOIN img i ON fr.family = i.family AND fr.qid = i.qid
+         |LEFT JOIN fmt f ON fr.family = 'movie' AND fr.qid = f.qid""".stripMargin
+    },
+    "q_merge_latest" ->
+      s"""SELECT doc_id, val, main_img, dat_creat FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
+         |  FROM ($genSql)
+         |) WHERE rn = 1""".stripMargin,
+    "q_merge_creation_sticky" ->
+      s"""SELECT doc_id, val, main_img, dat_creat FROM (
+         |  SELECT doc_id, gen, val,
+         |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id
+         |      ORDER BY gen ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_img,
+         |    first_value(dat_creat) OVER (PARTITION BY doc_id ORDER BY gen ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dat_creat,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
+         |  FROM ($genSql)
+         |) WHERE rn = 1""".stripMargin)
 }

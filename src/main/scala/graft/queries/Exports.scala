@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ColSyntax._
+import graft.crawl.Crawl
+import graft.ops.MultimodalOps
+import graft.synth.World
+
+/** Verify-time parquet exports giving DuckDB an independent view of the
+  * engine-internal tables (flattened crawl world, media metadata), so the
+  * crawl-view / writeback / media queries get HARD oracle rows instead of
+  * rows-only checks. The oracle SQL references these via the `__EXPORT__`
+  * token, which graft.Verify rewrites to the actual outDir. */
+object Exports {
+
+  def writeAll(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val work = CrawlQueries.sharedCrawl(spark)
+    val pages = spark.read.parquet(s"$work/pages")
+
+    // lang rank by World.langs order (the reference's per-entity language
+    // processing order) — lets the writeback oracle pick the last writer
+    val langRank = World.langs.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (l, i)) =>
+        when(substring_index($"doc_id", ":", -1) === l, lit(i)).otherwise(acc)
+      }
+
+    pages.select(
+      $"doc_id", $"url", $"host", $"family", $"title",
+      $"sortKey".as("sort_key"), $"salt",
+      $"httpStatus".as("http_status"), $"success",
+      $"hasContent".as("has_content"),
+      $"mainImageUrl".as("main_image_url"),
+      $"formatLine".as("format_line"),
+      size($"spans").as("n_spans"),
+      langRank.as("lang_rank"),
+      $"tick")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_crawl_pages")
+
+    pages.filter($"hasContent")
+      .select($"doc_id", explode($"spans").as("s"))
+      .select($"doc_id", $"s.kind".as("kind"), $"s.text".as("text"),
+        $"s.media_ref".as("media_ref"), $"s.offset".as("offset"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_crawl_spans")
+
+    pages.filter($"hasContent")
+      .select($"doc_id", explode($"sections").as("sec"))
+      .select($"doc_id", $"sec.display_order".as("display_order"),
+        $"sec.title".as("title"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_crawl_sections")
+
+    Crawl.candidateUnits(spark, CrawlQueries.sharedCfg).toDF()
+      .select($"qid", $"lang", $"family", $"docId".as("doc_id"),
+        $"sortKey".as("sort_key"), $"url", $"host", $"title")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_crawl_frontier")
+
+    MultimodalOps.exportMediaMeta(spark, sfDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_media_meta")
+  }
+}

@@ -33,14 +33,18 @@ object Relational {
 
   /** J1/J2 — exclusion anti-join: frontier rows not present in any
     * earlier-precedence table (wikipedia_crawler.py:71-79, NOT IN chain).
-    * left_anti is semantics-exact because keys are filtered non-null first. */
+    * left_anti ≡ NOT IN only when BOTH sides are null-filtered (one NULL in
+    * the subquery makes SQL NOT IN return zero rows), so the subquery side
+    * carries its own isNotNull — the equivalence holds by construction,
+    * exactly like the reference's exclusion subqueries
+    * (wikipedia_crawler.py:76-79: `WHERE ID_WIKIDATA IS NOT NULL`). */
   def antiJoinExclusion(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")
     val orders   = t(spark, dir, "orders")
     customer
       .filter($"c_custkey".isNotNull)
       .join(
-        orders.filter($"o_totalprice" > 400000)
+        orders.filter($"o_totalprice" > 400000 && $"o_custkey".isNotNull)
           .select($"o_custkey".as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select($"c_custkey", $"c_name")
@@ -95,10 +99,26 @@ object Relational {
   /** A4 — staleness ordering aggregation (README.md:422,
     * wikipedia_crawler.py:45-69): MAX(updated) per item type, never-crawled
     * (null) first — drives quick-mode crawl order. */
-  def stalenessOrder(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+  def stalenessOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Never-crawled item types = two literal dimension rows with no
+    // crawl-log rows at all (the reference's LEFT-JOIN-shaped NULL max,
+    // wikipedia_crawler.py:45-47: "Tables never crawled first"); they must
+    // sort FIRST, stalest next. The ORDER is the operator's point (it
+    // drives quick-mode crawl order), so the output carries an explicit
+    // crawl_rank column — the order-insensitive driver compare still pins it.
+    val crawled = t(spark, dir, "events")
       .groupBy($"event_type")
-      .agg(date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+      .agg(max($"ts").as("max_ts_raw"))
+    val neverCrawled = Seq("backfill", "migration").toDF("event_type")
+      .withColumn("max_ts_raw", lit(null).cast("timestamp"))
+    // 7 rows total: a global window is a deliberate single partition here
+    val w = Window.orderBy($"max_ts_raw".asc_nulls_first, $"event_type".asc)
+    crawled.unionByName(neverCrawled)
+      .withColumn("crawl_rank", row_number().over(w))
+      .select($"crawl_rank", $"event_type",
+        date_format($"max_ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"))
+  }
 
   /** W4 — top-N reporting (clear_shared_main_images.py:129-132): Spark plans
     * this as TakeOrderedAndProject — no full sort, no full shuffle. */
@@ -195,7 +215,8 @@ object Relational {
     "q_anti_join_exclusion" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IS NOT NULL
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |    WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)""".stripMargin,
     "q_precedence_dedup" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
@@ -210,15 +231,23 @@ object Relational {
     "q_freq_agg" ->
       """SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt
         |FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 3""".stripMargin,
+    // CAST the integer sums: DuckDB's sum(int) is HUGEINT (int128) while
+    // Spark's is BIGINT — same values, hash-mismatching representations
     "q_dup_group_count" ->
-      """SELECT count(*) AS dup_groups, sum(c - 1) AS excess_rows FROM (
+      """SELECT count(*) AS dup_groups, CAST(sum(c - 1) AS BIGINT) AS excess_rows FROM (
         |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey HAVING count(*) > 1)""".stripMargin,
     "q_group_count" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "q_staleness_order" ->
-      """SELECT event_type, strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
-        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT row_number() OVER (ORDER BY max_ts_raw ASC NULLS FIRST, event_type ASC)
+        |    AS crawl_rank,
+        |  event_type, strftime(max_ts_raw, '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM (
+        |  SELECT event_type, max(ts) AS max_ts_raw FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('backfill', NULL::TIMESTAMP),
+        |                        ('migration', NULL::TIMESTAMP)))""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
@@ -247,7 +276,8 @@ object Relational {
         |  split_part(p_type, ' ', 1) AS type_head, lower(p_brand) AS brand_lc
         |FROM part""".stripMargin,
     "q_json_extract" ->
-      """SELECT event_type, count(*) AS n, sum(k) AS sum_k, round(avg(k), 6) AS avg_k
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 6) AS avg_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
         |      FROM events)
         |WHERE k IS NOT NULL GROUP BY event_type""".stripMargin,

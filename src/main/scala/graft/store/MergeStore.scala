@@ -79,22 +79,39 @@ object MergeStore {
       .drop("__rn", "gen")
   }
 
-  /** Compact all generations into a single new base (snapshot rewrite). */
+  /** Compact all generations into a single new base (snapshot rewrite).
+    *
+    * Crash-safe: stale `.old`/`.compact` leftovers from a crashed compact
+    * are cleared up front (they would make the renames silent no-ops),
+    * every rename result is checked with rollback on failure, and the old
+    * copy is deleted only after the new table is verifiably readable — at
+    * no point is there no table at `dir` that cannot be restored. */
   def compact(spark: SparkSession, dir: String, keys: Seq[String],
               creationCols: Seq[String] = Nil,
               stickyCols: Seq[String] = Nil): Unit = {
-    val merged = mergedView(spark, dir, keys, creationCols, stickyCols)
-    val staging = s"$dir.compact"
-    merged.withColumn("gen", lit(0)).write.mode(SaveMode.Overwrite)
-      .partitionBy("gen").parquet(staging)
-    val target = new java.io.File(dir)
-    val old = new java.io.File(s"$dir.old")
-    target.renameTo(old)
-    new java.io.File(staging).renameTo(target)
-    def rm(f: java.io.File): Unit = {
+    def rm(f: java.io.File): Unit = if (f.exists) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
+    val target = new java.io.File(dir)
+    val staging = new java.io.File(s"$dir.compact")
+    val old = new java.io.File(s"$dir.old")
+    rm(staging)
+    rm(old)
+    val merged = mergedView(spark, dir, keys, creationCols, stickyCols)
+    merged.withColumn("gen", lit(0)).write.mode(SaveMode.Overwrite)
+      .partitionBy("gen").parquet(staging.getPath)
+    if (!target.renameTo(old))
+      throw new java.io.IOException(
+        s"compact: cannot move $dir aside — data left intact")
+    if (!staging.renameTo(target)) {
+      old.renameTo(target) // roll the original back into place
+      throw new java.io.IOException(
+        s"compact: cannot commit staging for $dir — original restored")
+    }
+    // delete the old copy only once the new base actually reads
+    require(spark.read.parquet(dir).columns.nonEmpty,
+      s"compact: new base at $dir unreadable; old copy kept at $old")
     rm(old)
   }
 }

@@ -37,6 +37,32 @@ object StreamingCrawl {
       }
       .start()
 
+  /** The persisted global candidate set: a pure function of
+    * (seed, nEntities), so it is computed ONCE per crawl state dir and
+    * committed columnar (atomic rename). Every micro-batch after that is a
+    * pruned parquet scan + broadcast semi-join — NOT a recompute of the
+    * frontier dedup windows, which at 10^10 entities would re-shuffle the
+    * full world on every micro-batch. */
+  private def candidatesPath(cfg: CrawlConfig) = s"${cfg.workDir}/candidates"
+
+  private[graft] def ensureCandidates(spark: SparkSession,
+                                      cfg: CrawlConfig): Unit = {
+    val dir = new java.io.File(candidatesPath(cfg))
+    if (!dir.exists) {
+      val tmp = new java.io.File(candidatesPath(cfg) + ".tmp")
+      if (tmp.exists) { // crashed materialization — rebuild
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(tmp)
+      }
+      Crawl.candidateUnits(spark, cfg).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+      if (!tmp.renameTo(dir))
+        throw new java.io.IOException(s"cannot commit candidate set at $dir")
+    }
+  }
+
   /** One micro-batch: schedule + persist the announced entity ranges. */
   private[graft] def runMicroBatch(spark: SparkSession, cfg: CrawlConfig,
                                    batch: DataFrame, batchId: Long): Unit = {
@@ -48,11 +74,13 @@ object StreamingCrawl {
         (a.trim.toLong, b.trim.toLong)
       }
     if (ranges.isEmpty) return
-    // global dedup semantics: candidates are computed over the FULL world
-    // (precedence + canonical-URL winners are the same no matter when a
-    // range arrives), then restricted to the announced entity ranges via
-    // a broadcast semi-join on qid — so streaming arrival order can never
-    // crawl a unit the batch engine would have deduped away
+    // global dedup semantics: candidates carry the full world's precedence
+    // + canonical-URL winners (the same no matter when a range arrives),
+    // restricted to the announced entity ranges via a broadcast semi-join
+    // on qid — so streaming arrival order can never crawl a unit the batch
+    // engine would have deduped away. The candidate set itself is persisted
+    // once (see ensureCandidates), not recomputed per micro-batch.
+    ensureCandidates(spark, cfg)
     val announcedQids = ranges
       .map { case (a, b) =>
         spark.range(a, b).flatMap(i =>
@@ -61,10 +89,11 @@ object StreamingCrawl {
       .reduce(_ unionByName _)
       .distinct()
       .toDF("qid")
-    val candidates = Crawl.candidateUnits(spark, cfg)
+    val candidates = spark.read.parquet(candidatesPath(cfg))
       .join(org.apache.spark.sql.functions.broadcast(announcedQids),
         Seq("qid"), "left_semi")
       .as[Crawl.CrawlUnit]
+    Crawl.cleanPartialTicks(cfg.workDir) // M7: drop crashed partial state
     val fresh = Crawl.filterNew(spark, candidates, cfg)
     val tickIdx = math.max(Crawl.completedTicks(cfg.workDir), batchId.toInt)
     Crawl.scheduleAndPersist(spark, cfg, tickIdx, fresh)

@@ -218,9 +218,13 @@ object World {
   final case class ImagePlan(
       fileTitle: String,   // namespaced "File:Name" form
       url: String,         // upload.wikimedia.org canonical URL
-      caption: String,
+      caption: String,     // EXPECTED extracted caption (test ground truth;
+                           // the engine must derive it from the HTML, J7)
       mime: String,        // ~5% non-image media (P6 must drop them)
-      isChrome: Boolean)   // ground truth for tests (filter must agree)
+      isChrome: Boolean,   // ground truth for tests (filter must agree)
+      shape: String,       // caption container: figure/gallerybox/thumb/
+                           //   infobox/legend, or "none" (not in the HTML)
+      renderedCaption: String) // caption markup as rendered (entities/tags)
 
   /** P9 — families that store a main image (CONTENT_CONFIG imagetable !=
     * "", wikipedia_page_writer.py:41-62: keyword/season/other have none). */
@@ -297,13 +301,15 @@ object World {
   def pagePlan(seed: Long, qid: String, lang: String, title: String,
                family: String): PagePlan = {
     val h = mix(seed, hashStr(qid), hashStr(lang), 0xBEEFL)
-    // status: 90% clean 200; 5% 200 after 1-2 transient 503s; 3% 404; 2% hard 503
+    // status: 90% clean 200; 5% 200 after 1-3 transient 503s (3 = the full
+    // retry budget — still a success, urllib3 Retry(total=3) semantics);
+    // 3% 404; 2% hard 503 (4 transients = budget exhausted)
     val u = unit(mix(h, 30L))
     val (status, transients) =
       if (u < 0.90) (200, 0)
-      else if (u < 0.95) (200, 1 + bounded(mix(h, 31L), 2))
+      else if (u < 0.95) (200, 1 + bounded(mix(h, 31L), 3))
       else if (u < 0.98) (404, 0)
-      else (503, 3)
+      else (503, 4)
     val hasContent = status == 200 && unit(mix(h, 32L)) < 0.97
 
     // lead image (~70%); of those ~10% chrome (must be rejected, M1 rule)
@@ -355,9 +361,12 @@ object World {
       }
     }
 
-    // gallery images: 0-12; ~15% chrome, ~2% lookalikes
+    // gallery images: 0-12; ~15% chrome, ~2% lookalikes. Captions are NOT
+    // handed to the engine: each image renders into one of the 5 caption
+    // container shapes (or none) and the engine must extract the caption
+    // from the HTML (J7); ImagePlan.caption carries the EXPECTED result.
     val nImages = if (hasContent) bounded(mix(h, 60L), 13) else 0
-    val images = (0 until nImages).map { i =>
+    val imagesRaw = (0 until nImages).map { i =>
       val hi = mix(h, 61L, i.toLong)
       val ui = unit(mix(hi, 62L))
       val name =
@@ -371,12 +380,51 @@ object World {
         else if (name.endsWith(".svg")) "image/svg+xml"
         else if (name.endsWith(".png")) "image/png"
         else "image/jpeg"
+      val shape = bounded(mix(hi, 72L), 20) match {
+        case 0 | 1 | 2 | 3 | 4 => "figure"
+        case 5 | 6 | 7 | 8 | 9 => "gallerybox"
+        case 10 | 11 | 12      => "thumb"
+        case 13 | 14           => "infobox"
+        case 15 | 16           => "legend"
+        case _                 => "none" // enumerated via API, absent in HTML
+      }
+      val capWords = words(mix(hi, 66L), 4 + bounded(mix(hi, 67L), 5))
+      // ~8% empty caption nodes (definitive-empty path); ~3/8 of the rest
+      // carry entity or inline-markup decoration the matcher must clean
+      val (renderedCap, ownExpected) =
+        if (unit(mix(hi, 73L)) < 0.08) ("", "")
+        else bounded(mix(hi, 74L), 8) match {
+          case 0 => (s"Caf&#233; $capWords", s"Café $capWords")
+          case 1 =>
+            val ws = capWords.split(" ")
+            (s"<i>${ws.head}</i> ${ws.tail.mkString(" ")}", capWords)
+          case 2 => (s"$capWords &amp; more", s"$capWords & more")
+          case _ => (capWords, capWords)
+        }
       ImagePlan(
         fileTitle = prefix + name.replace('_', ' '),
         url = uploadUrl(name),
-        caption = words(mix(hi, 66L), 4 + bounded(mix(hi, 67L), 5)),
+        caption = ownExpected, // provisional; resolved below
         mime = mime,
-        isChrome = graft.parse.UiChrome.matchesChrome(name))
+        isChrome = graft.parse.UiChrome.matchesChrome(name),
+        shape = shape,
+        renderedCaption = renderedCap)
+    }
+    // Expected captions follow the matcher's first-match semantics
+    // (soup.find: the FIRST rendered container of a filename answers every
+    // lookup of that filename, wikipedia_images.py:450): duplicate names —
+    // chrome decorations recur — inherit the first rendered caption, and a
+    // "none"-shaped image still resolves if another container renders its
+    // name.
+    val firstRendered = scala.collection.mutable.Map.empty[String, String]
+    imagesRaw.foreach { ip =>
+      val name = ip.url.substring(ip.url.lastIndexOf('/') + 1)
+      if (ip.shape != "none" && !firstRendered.contains(name))
+        firstRendered(name) = ip.caption
+    }
+    val images = imagesRaw.map { ip =>
+      val name = ip.url.substring(ip.url.lastIndexOf('/') + 1)
+      ip.copy(caption = firstRendered.getOrElse(name, ""))
     }
 
     PagePlan(qid, lang, title, status, transients, hasContent, leadImage,
@@ -403,6 +451,50 @@ object World {
     }
     sb.append("</body>").toString
   }
+
+  /** Render one image's caption container (J7 marker shapes, mirrors the
+    * MediaWiki structures of wikipedia_images.py:463-511). ~20% of hrefs
+    * are percent-encoded (the matcher must URL-decode before comparing);
+    * frwiki pages use the `Fichier:` namespace. */
+  def renderImageHtml(ip: ImagePlan, lang: String): String = {
+    if (ip.shape == "none") return ""
+    val name = ip.url.substring(ip.url.lastIndexOf('/') + 1)
+    val h = mix(hashStr(name), 0x1A6EL)
+    val encName = if (unit(mix(h, 75L)) < 0.20) name.replace("_", "%5F") else name
+    val prefix = if (lang == "fr") "Fichier" else "File"
+    val a = s"""<a class="mw-file-description" href="/wiki/$prefix:$encName">""" +
+      s"""<img src="${ip.url}"/></a>"""
+    val cap = ip.renderedCaption
+    ip.shape match {
+      case "figure" =>
+        s"""<figure typeof="mw:File/Thumb">$a<figcaption>$cap</figcaption></figure>"""
+      case "gallerybox" =>
+        // img sits in an inner class=thumb WITHOUT a thumbcaption: the
+        // matcher must keep walking up to the gallerybox (the reference's
+        // explicit non-definitive thumb case, wikipedia_images.py:484-485)
+        s"""<ul class="gallery"><li class="gallerybox"><div class="thumb">$a</div>""" +
+          s"""<div class="gallerytext">$cap</div></li></ul>"""
+      case "thumb" =>
+        s"""<div class="thumb tright"><div class="thumbinner">$a""" +
+          s"""<div class="thumbcaption">$cap</div></div></div>"""
+      case "infobox" =>
+        if (bounded(mix(h, 76L), 2) == 0)
+          s"""<table class="infobox"><tr><td class="infobox-image">$a""" +
+            s"""<div class="infobox-caption">$cap</div></td></tr></table>"""
+        else // caption on the NEXT table row (the tr-sibling path, :495-503)
+          s"""<table class="infobox"><tr><td class="infobox-image">$a</td></tr>""" +
+            s"""<tr><td><div class="infobox-caption">$cap</div></td></tr></table>"""
+      case "legend" => // frwiki infobox shape: caption in a SIBLING div
+        s"""<div class="images">$a</div><div class="legend">$cap</div>"""
+    }
+  }
+
+  /** The full rendered page: section blocks + image containers — ONE
+    * document serving both the section parser and the caption matcher
+    * (the reference's Phase-1b single-fetch shape). */
+  def renderPage(plan: PagePlan): String =
+    renderMarkup(plan.blocks).stripSuffix("</body>") +
+      plan.images.map(renderImageHtml(_, plan.lang)).mkString + "</body>"
 
   /** Robots rules (FIXTURES.md F4): deterministic per (host, first path
     * letter): ~5% of (host, letter) buckets are disallowed. */

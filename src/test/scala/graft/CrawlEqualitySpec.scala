@@ -95,6 +95,26 @@ class CrawlEqualitySpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("crash between state writes and manifest commit replays cleanly (M7)") {
+    val cfg = cfg0.copy(workDir = freshDir())
+    Crawl.tick(spark, cfg, 0)
+    Crawl.tick(spark, cfg, 1)
+    Crawl.tick(spark, cfg, 2)
+    // simulate the crash window: pages/seen/Bloom of tick 2 persisted, the
+    // manifest (the commit record, written last) did not land
+    assert(new java.io.File(s"${cfg.workDir}/manifests/manifest_2.json").delete())
+    val resumed = Crawl.run(spark, cfg)
+    // tick 2 must REPLAY (not be skipped, not double-schedule into tick 3)
+    assert(resumed.head.tick == 2)
+    val seen = spark.read.parquet(Crawl.seenDir(cfg.workDir))
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(seen == oracle.seen)
+    val docs = Crawl.docsView(spark, cfg.workDir).collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(docs.keySet == oracle.docs.keySet)
+    docs.foreach { case (id, spans) => assert(spans == oracle.docs(id)) }
+  }
+
   test("politeness budget is respected per host per tick") {
     val cfg = cfg0.copy(workDir = freshDir())
     Crawl.tick(spark, cfg, 0)

@@ -72,4 +72,23 @@ class MergeStoreSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(before == after)
   }
+
+  test("compact clears stale leftovers from a crashed compact and never strands the table") {
+    val dir = fresh()
+    MergeStore.ingest(Seq((1L, "en", "a", "g0", "i0"))
+      .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    val before = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .collect().toSeq
+    // a prior compact crashed mid-flight: both scratch dirs linger with junk
+    // — were they left in place, the renames would silently no-op and the
+    // old implementation's rm() could delete the only copy of the data
+    new java.io.File(s"$dir.compact/junk").mkdirs()
+    new java.io.File(s"$dir.old/junk").mkdirs()
+    MergeStore.compact(spark, dir, keys, creation, sticky)
+    assert(!new java.io.File(s"$dir.old").exists)
+    assert(!new java.io.File(s"$dir.compact").exists)
+    val after = MergeStore.mergedView(spark, dir, keys, creation, sticky)
+      .collect().toSeq
+    assert(before == after)
+  }
 }

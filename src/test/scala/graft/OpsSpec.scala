@@ -118,9 +118,41 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("media_id").collect().toSeq
     assert(a == b && a.nonEmpty)
     a.foreach { r =>
-      assert(r.getSeq[Float](6).length == 16)
+      // features are emitted as a JSON scalar (driver-comparable); still
+      // must carry exactly 16 dims
+      assert(r.getString(6).split(",").length == 16)
       assert(Set("image", "audio", "video").contains(r.getString(1)))
     }
+  }
+
+  test("adaptive sign-LSH width scales with table size") {
+    // small tables keep the 64-bucket floor (test behavior unchanged)...
+    assert(AnnOps.adaptiveNBits(0) == 6)
+    assert(AnnOps.adaptiveNBits(1000) == 6)
+    // ...large tables grow the hash so buckets stay ~targetBucketSize:
+    // 10^10 rows / 256 ≈ 3.9e7 buckets → 26 bits, NOT 64 fixed buckets
+    assert(AnnOps.adaptiveNBits(10000000000L) == 26)
+    assert(AnnOps.adaptiveNBits(Long.MaxValue / 2) == 48) // capped
+  }
+
+  test("retry boundary: exactly maxRetries transients then 200 still succeeds (C4)") {
+    // find world points for each side of the boundary
+    var sawBudgetSuccess = false
+    var sawExhausted = false
+    (0 until 4000).foreach { i =>
+      val plan = graft.synth.World.pagePlan(42L, s"Q$i", "en", "T", "movie")
+      if (plan.httpStatus == 200 && plan.transientFailures == 3) {
+        val p = graft.crawl.Fetcher.fetchParse(42L, s"Q$i", "en", "T", "movie", "u", "h")
+        assert(p.result.success, "3 transients within the budget must succeed")
+        sawBudgetSuccess = true
+      }
+      if (plan.transientFailures > 3) {
+        val p = graft.crawl.Fetcher.fetchParse(42L, s"Q$i", "en", "T", "movie", "u", "h")
+        assert(!p.result.success && p.result.httpStatus == 503)
+        sawExhausted = true
+      }
+    }
+    assert(sawBudgetSuccess && sawExhausted, "world must exercise both sides")
   }
 
   test("frame sampling respects stride and cap") {

@@ -91,6 +91,27 @@ class ViewsSpec extends AnyFunSuite {
     assert(r.getString(2) == "")
   }
 
+  test("F8: numeric/hex entity unescape matches html.unescape semantics") {
+    import graft.ops.TextOps.unescapeHtml
+    assert(unescapeHtml("caf&#233; &#xE9;") == "café é")
+    assert(unescapeHtml("A&#x2014;B") == "A—B")
+    // single pass: &amp;#51; → &#51;, NOT 3 (html.unescape is one scan)
+    assert(unescapeHtml("&amp;#51;") == "&#51;")
+    // WHATWG quirks html.unescape implements: C1 range → windows-1252,
+    // NUL/out-of-range/surrogates → U+FFFD, 0x0D → CR
+    assert(unescapeHtml("&#151;") == "—")   // 0x97 → em dash
+    assert(unescapeHtml("&#x80;") == "€")   // euro
+    assert(unescapeHtml("&#0;") == "�")
+    assert(unescapeHtml("&#xD800;") == "�")
+    assert(unescapeHtml("&#1114112;") == "�") // 0x110000
+    assert(unescapeHtml("&#13;") == "\r")
+    assert(unescapeHtml("&nbsp;") == " ")   // NBSP, not plain space
+    // huge digit strings must not overflow into a wrong codepoint
+    assert(unescapeHtml("&#99999999999999;") == "�")
+    // non-entities pass through
+    assert(unescapeHtml("a & b &unknown; &#x;") == "a & b &unknown; &#x;")
+  }
+
   test("P6: no non-image mime in any gallery; P9: imageless families have no main image") {
     val pages = spark.read.parquet(s"$work/pages").collect()
     pages.filter(p => !graft.synth.World.familiesWithImages.contains(p.getAs[String]("family")))

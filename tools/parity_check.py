@@ -6,7 +6,7 @@ compares to the parquet the Verify main dumped: schema (column names),
 row count, and a hash of values with columns sorted by name.
 """
 import sys, json, glob, math, hashlib
-import duckdb, pyarrow.parquet as pq
+import duckdb, pyarrow as pa, pyarrow.parquet as pq
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -36,10 +36,12 @@ for name, sql in sorted(oracle.items()):
         orows = res.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    tb = pq.read_table(files[0])
+    # concatenate ALL part files — a multi-part result compared against
+    # only part 0 would report spurious row/hash failures
+    tb = pa.concat_tables([pq.read_table(f) for f in files])
     scols = tb.column_names
     srows = [tuple(r[c] for c in scols) for r in tb.to_pylist()]
     if sorted(scols) != sorted(ocols):
