@@ -240,6 +240,16 @@ object Crawl {
     * and persist pages + seen + Bloom + manifest. The micro-batch core
     * shared by the batch loop ([[tick]]) and the streaming frontier
     * (graft.streaming.StreamingCrawl). */
+  private val phaseTiming = sys.env.contains("GRAFT_PHASE_TIMING")
+  private def phase[T](label: String)(f: => T): T =
+    if (!phaseTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[phase] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   def scheduleAndPersist(spark: SparkSession, cfg: CrawlConfig, tickIdx: Int,
                          fresh: Dataset[CrawlUnit]): TickResult = {
     import spark.implicits._
@@ -274,7 +284,7 @@ object Crawl {
     val perPartitionInterval =
       if (cfg.maxRps > 0) (fetchPartitions.toDouble / cfg.maxRps * 1e9).toLong
       else 0L
-    batch
+    phase(s"tick=$tickIdx fetch+parse+write") { batch
       .repartition(fetchPartitions, $"url")
       .as[CrawlUnitSalted]
       .mapPartitions { it =>
@@ -307,6 +317,7 @@ object Crawl {
         sum(size($"spans")).as("spans"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
+    }
     batch.unpersist()
 
     val m = obs.get
@@ -321,22 +332,28 @@ object Crawl {
     val pages = spark.read.parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
 
     // seen append (url + xxhash64 key for bucketing/Bloom)
-    pages.select($"url", xxhash64($"url").as("urlHash"))
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", 500000) // W5 bounded write batches
-      .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
+    phase(s"tick=$tickIdx seen-write") {
+      pages.select($"url", xxhash64($"url").as("urlHash"))
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", 500000) // W5 bounded write batches
+        .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
+    }
 
     // persist this tick's Bloom sketch (mergeable across ticks and runs)
     import spark.implicits._
-    graft.dedup.BloomSeen.save(
-      graft.dedup.BloomSeen.build(pages.select($"url").as[String],
-        cfg.bloomCapacity, cfg.bloomFpp),
-      cfg.workDir, tickIdx)
+    phase(s"tick=$tickIdx bloom") {
+      graft.dedup.BloomSeen.save(
+        graft.dedup.BloomSeen.build(pages.select($"url").as[String],
+          cfg.bloomCapacity, cfg.bloomFpp),
+        cfg.workDir, tickIdx)
+    }
 
     // manifest: per-(host,salt)-partition lineage watermarks + counters (M7)
-    val watermarks = pages.groupBy($"host", $"salt")
-      .agg(max($"sortKey").as("wm"))
-      .collect()
+    val watermarks = phase(s"tick=$tickIdx watermarks") {
+      pages.groupBy($"host", $"salt")
+        .agg(max($"sortKey").as("wm"))
+        .collect()
+    }
       .map(r => s""""${r.getString(0)}#${r.getInt(1)}": "${r.getString(2)}"""")
       .sorted.mkString(",\n    ")
     val manifest =
@@ -405,7 +422,7 @@ object Crawl {
     cleanPartialTicks(cfg.workDir) // drop half-persisted state before resume
     val start = completedTicks(cfg.workDir)
     val candidates = candidateUnits(spark, cfg).cache()
-    val total = candidates.count()
+    val total = phase("candidates+count")(candidates.count())
     var crawled =
       if (start == 0) 0L
       else readSeen(spark, cfg.workDir).count()

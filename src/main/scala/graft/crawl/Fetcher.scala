@@ -63,11 +63,13 @@ object Fetcher {
           UiChrome.isAcceptableMainImageUrl(plan.leadImageUrl)) plan.leadImageUrl
       else ""
 
-    // ONE rendered-HTML document serves sections AND captions (the
-    // reference's Phase-1b single-fetch: wikipedia_page_writer.py:74-75)
+    // ONE rendered-HTML document and ONE DOM parse serve sections AND
+    // captions (the reference's Phase-1b single-fetch + single-soup:
+    // wikipedia_page_writer.py:74-75)
     val markup = World.renderPage(plan)
+    val dom = graft.parse.MiniDom.parse(markup)
     val sections = SectionParser.toSectionRows(
-      SectionParser.extractTitlesAndText(markup))
+      SectionParser.extractTitlesAndTextDom(dom))
 
     // M6 format line from the French movie 'Fiche technique' section
     val formatLine =
@@ -87,8 +89,11 @@ object Fetcher {
     // matcher (wikipedia_images.py:409-515), keyed by the URL-derived
     // filename; ONE DOM parse per page answers every gallery lookup
     def fileNameOf(url: String) = url.substring(url.lastIndexOf('/') + 1)
-    val captions = graft.parse.CaptionMatcher.captionsFor(
-      markup, gallery.map { case (_, ip) => fileNameOf(ip.url) }.distinct)
+    val galleryNames = gallery.map { case (_, ip) => fileNameOf(ip.url) }.distinct
+    // no gallery → nothing to look up → skip the DOM parse entirely
+    val captions =
+      if (galleryNames.isEmpty) Map.empty[String, String]
+      else graft.parse.CaptionMatcher.captionsForDom(dom, galleryNames)
 
     val spans =
       sections.map { case (ord, _, content) => Span("section", content, "", ord) } ++

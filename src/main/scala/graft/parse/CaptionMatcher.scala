@@ -34,36 +34,45 @@ object CaptionMatcher {
     try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
     catch { case _: Exception => s }
 
-  private def hrefTargets(href: String, filename: String,
-                          filenameUnderscored: String): Boolean = {
-    if (href.isEmpty) return false
-    val decoded = softDecode(href)
-    decoded.endsWith(":" + filename) || decoded.endsWith(":" + filenameUnderscored)
+  /** One tree walk per PAGE: every `<img>` in document order with its
+    * wrapping mw-file-description href (decoded) or its src/alt fallback
+    * strings. Per-filename lookup then scans this small vector — the naive
+    * form rescanned the full DOM per filename, which dominated fetch CPU
+    * (gallery of g images over an n-node page = O(g·n)). */
+  final class PageIndex private[CaptionMatcher] (val root: Node) {
+    private[CaptionMatcher] val imgs: Vector[(Node, String, String, String)] =
+      root.descendants.filter(_.tag == "img").map { n =>
+        val wrappedHref = n.ancestors
+          .find(a => a.tag == "a" && a.classes.contains("mw-file-description"))
+          .map(a => softDecode(a.attrs.getOrElse("href", "")))
+          .orNull
+        (n, wrappedHref, n.attrs.getOrElse("src", ""), n.attrs.getOrElse("alt", ""))
+      }.toVector
+
+    /** The reference's matches_img over imgs in document order: a wrapped
+      * img matches by decoded-href suffix; an unwrapped one by src/alt
+      * substring (wikipedia_images.py:434-448). */
+    private[CaptionMatcher] def findImg(f: String, fu: String): Option[Node] =
+      imgs.collectFirst {
+        case (n, href, src, alt)
+            if (if (href != null)
+                  href.endsWith(":" + f) || href.endsWith(":" + fu)
+                else
+                  src.contains(f) || alt.contains(f) ||
+                    src.contains(fu) || alt.contains(fu)) => n
+      }
   }
 
-  private def findImg(root: Node, filename: String,
-                      filenameUnderscored: String): Option[Node] =
-    root.descendants.find { n =>
-      n.tag == "img" && {
-        val parentA = n.ancestors
-          .find(a => a.tag == "a" && a.classes.contains("mw-file-description"))
-        parentA match {
-          case Some(a) =>
-            hrefTargets(a.attrs.getOrElse("href", ""), filename, filenameUnderscored)
-          case None =>
-            val src = n.attrs.getOrElse("src", "")
-            val alt = n.attrs.getOrElse("alt", "")
-            src.contains(filename) || alt.contains(filename) ||
-              src.contains(filenameUnderscored) || alt.contains(filenameUnderscored)
-        }
-      }
-    }
+  def index(html: String): PageIndex = new PageIndex(MiniDom.parse(html))
 
   /** Caption for one image filename within parsed page HTML ("" = none). */
-  def captionFor(root: Node, filename: String): String = {
+  def captionFor(root: Node, filename: String): String =
+    captionFor(new PageIndex(root), filename)
+
+  def captionFor(idx: PageIndex, filename: String): String = {
     if (filename.isEmpty) return ""
     val filenameUnderscored = filename.replace(" ", "_")
-    val img = findImg(root, filename, filenameUnderscored).orNull
+    val img = idx.findImg(filename, filenameUnderscored).orNull
     if (img == null) return ""
 
     var node: Node = img
@@ -106,11 +115,14 @@ object CaptionMatcher {
     ""
   }
 
-  /** Captions for a batch of filenames over one page's HTML — parses the
-    * DOM once per page (the reference's Phase-1b shape: one rendered-HTML
-    * fetch serves sections AND captions). */
-  def captionsFor(html: String, filenames: Seq[String]): Map[String, String] = {
-    val root = MiniDom.parse(html)
-    filenames.map(f => f -> captionFor(root, f)).toMap
+  /** Captions for a batch of filenames over one page's HTML — parses and
+    * indexes the DOM once per page (the reference's Phase-1b shape: one
+    * rendered-HTML fetch serves sections AND captions). */
+  def captionsFor(html: String, filenames: Seq[String]): Map[String, String] =
+    captionsForDom(MiniDom.parse(html), filenames)
+
+  def captionsForDom(root: Node, filenames: Seq[String]): Map[String, String] = {
+    val idx = new PageIndex(root)
+    filenames.map(f => f -> captionFor(idx, f)).toMap
   }
 }

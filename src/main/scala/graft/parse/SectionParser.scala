@@ -46,19 +46,34 @@ object SectionParser {
   final case class TextBlock(name: String, text: String) extends Block
   final case class ListBlock(name: String, items: Seq[String]) extends Block
 
-  private val TagRe =
-    "(?s)<(h2|h3|h4|p|ul|ol)>(.*?)</\\1>".r
-  private val LiRe = "(?s)<li>(.*?)</li>".r
+  private val blockTags = Set("h2", "h3", "h4", "p", "ul", "ol")
 
   /** Tokenize the generator's markup subset into a flat block sequence. */
   def tokenize(markup: String): Seq[Block] =
-    TagRe.findAllMatchIn(markup).map { m =>
-      val name = m.group(1)
-      val inner = m.group(2)
-      if (name == "ul" || name == "ol")
-        ListBlock(name, LiRe.findAllMatchIn(inner).map(_.group(1)).toSeq)
-      else TextBlock(name, inner)
-    }.toSeq
+    tokenizeDom(MiniDom.parse(markup))
+
+  /** DOM-based tokenizer: ATTRIBUTE-LESS h2/h3/h4/p/ul/ol elements are
+    * section blocks (image caption containers always carry class/typeof
+    * attributes — e.g. `<ul class="gallery">` — and are never blocks).
+    * Shares ONE MiniDom parse per page with the caption matcher; the
+    * regex tokenizer this replaced re-scanned the full page and was the
+    * single largest parse-kernel cost. */
+  def tokenizeDom(root: MiniDom.Node): Seq[Block] = {
+    val out = Vector.newBuilder[Block]
+    def textOf(n: MiniDom.Node): String =
+      n.children.iterator.filter(!_.isElement).map(_.text).mkString
+    def walk(n: MiniDom.Node): Unit =
+      if (n.isElement && blockTags.contains(n.tag) && n.attrs.isEmpty) {
+        if (n.tag == "ul" || n.tag == "ol")
+          out += ListBlock(n.tag,
+            n.children.filter(c => c.isElement && c.tag == "li")
+              .map(textOf).toSeq)
+        else out += TextBlock(n.tag, textOf(n))
+        // block content is flat by the markup contract — no recursion
+      } else n.children.foreach(walk)
+    walk(root)
+    out.result()
+  }
 
   /** helpers:151-169 `_append_block_text`. */
   private def appendBlockText(sectionText: String, b: Block): String = b match {
@@ -86,8 +101,15 @@ object SectionParser {
     title.replace(" - ", " – ")
 
   /** The extractor: markup → ordered (title, text) sections. */
-  def extractTitlesAndText(markup: String): Seq[(String, String)] = {
-    val blocks = tokenize(markup)
+  def extractTitlesAndText(markup: String): Seq[(String, String)] =
+    extractTitlesAndText(tokenize(markup))
+
+  /** The extractor over an already-parsed DOM (one parse per page shared
+    * with the caption matcher). */
+  def extractTitlesAndTextDom(root: MiniDom.Node): Seq[(String, String)] =
+    extractTitlesAndText(tokenizeDom(root))
+
+  def extractTitlesAndText(blocks: Seq[Block]): Seq[(String, String)] = {
     val result = mutable.ArrayBuffer.empty[(String, String)]
 
     // Intro = everything before the first <h2>, always emitted.

@@ -85,6 +85,25 @@ class OpsSpec extends AnyFunSuite {
     assert(mean > 0.05)
   }
 
+  test("ann ivf probes its nearest lists and beats single-bucket recall expectations") {
+    val brute = AnnOps.bruteTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val ivf = AnnOps.ivfTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      val b = brute(q); val l = ivf.getOrElse(q, Set.empty)
+      b.intersect(l).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ann ivf mean recall@10 = $mean%.2f")
+    // 4-probe IVF over 16 sampled lists scans ~25% of the table — recall
+    // should comfortably beat that fraction on structured neighborhoods
+    assert(mean > 0.15)
+  }
+
   test("exact dedup groups partition the table") {
     val df = DedupOps.exactDedup(spark, sf0001)
     val total = df.agg(sum($"group_size")).head.getLong(0)

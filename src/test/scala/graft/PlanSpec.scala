@@ -42,6 +42,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("media decode is map-only: no exchange touches the binary payloads") {
+    val p = plan("q_media_decode")
+    assert(!p.contains("Exchange"),
+      s"decode must not shuffle the bytes column:\n$p")
+  }
+
+  test("minhash verify joins reuse the persisted signature table") {
+    val p = plan("q_minhash_dedup")
+    // the shingle+signature pass is computed once and cached; banding and
+    // both verify sides read the InMemoryRelation, not the raw scan
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"signature table must be persisted:\n$p")
+  }
+
   test("precedence dedup pushes the rank limit below the shuffle") {
     val p = plan("q_precedence_dedup")
     assert(p.contains("WindowGroupLimit"), p)

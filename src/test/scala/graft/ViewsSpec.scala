@@ -70,6 +70,11 @@ class ViewsSpec extends AnyFunSuite {
     assert(fl.filter($"formatLine" === "").count() == 0)
   }
 
+  test("gallery URLs carry no percent-escapes (the q_crawl_images oracle's raw-segment file_name is exact)") {
+    val iv = Views.imagesView(spark, work)
+    assert(iv.filter($"image_url".contains("%")).count() == 0)
+  }
+
   test("lang summary counts docs and 0/1-coerced main images per language") {
     val ls = Views.langSummary(spark, work).collect()
     assert(ls.nonEmpty)
