@@ -97,8 +97,9 @@ object Bench {
     "q_anti_join_exclusion", "q_backfill_join", "q_topk", "q_hourly_agg",
     "q_dedup_exact", "q_dedup_prefix", "q_minhash_dedup", "q_simhash_dedup",
     "q_embedding_neardup", "q_ann_brute", "q_ann_lsh", "q_token_count",
-    "q_lang_id", "q_quality_score", "q_fingerprint", "q_html_strip",
-    "q_media_decode", "q_frame_sample", "q_merge_latest")
+    "q_ann_ivf", "q_lang_id", "q_quality_score", "q_fingerprint",
+    "q_html_strip", "q_curation", "q_media_decode", "q_frame_sample",
+    "q_merge_latest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

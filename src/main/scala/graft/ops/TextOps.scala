@@ -172,31 +172,52 @@ object TextOps {
       extractLangText(html, "en").as("en_text"))
   }
 
+  /** q_curation — the composed training-data curation pipeline: exact
+    * dedup (keep each content group's min doc_id) → language gate
+    * (marker-based ID, drop 'und') → quality gate (composite ≥ 0.5). One
+    * pass over documents + one dedup shuffle + two broadcast-joinable
+    * derived columns — the shape of a pretraining data filter at 100 TB
+    * (every stage is scan-local except the dedup groupBy). */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val keepers = docs
+      .groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val lang = langId(spark, dir).select($"doc_id", $"lang_pred")
+    val qual = qualityScore(spark, dir).select($"doc_id", $"n_tokens", $"quality")
+    docs.select($"doc_id", $"source")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .filter($"lang_pred" =!= "und" && $"quality" >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation" -> (curation _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_token_count" -> (tokenCount _),
     "q_fingerprint" -> (fingerprint _),
     "q_html_strip" -> (htmlStrip _))
 
-  val oracle: Map[String, String] = Map(
-    "q_lang_id" -> {
-      val hits = langMarkers.map { case (lang, ws) =>
-        val sum = ws.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
-        s"($sum) AS hits_$lang"
-      }.mkString(",\n    ")
-      val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
-        case ((bl, bh), lang) =>
-          (s"CASE WHEN hits_$lang > ($bh) THEN '$lang' ELSE ($bl) END",
-            s"CASE WHEN hits_$lang > ($bh) THEN hits_$lang ELSE ($bh) END")
-      }
-      s"""SELECT doc_id, ${bestExpr._1} AS lang_pred, ${bestExpr._2} AS marker_hits
-         |FROM (SELECT doc_id,
-         |    $hits
-         |  FROM documents)""".stripMargin
-    },
-    "q_quality_score" ->
-      """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+  private val oracleLangId: String = {
+    val hits = langMarkers.map { case (lang, ws) =>
+      val sum = ws.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+      s"($sum) AS hits_$lang"
+    }.mkString(",\n    ")
+    val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
+      case ((bl, bh), lang) =>
+        (s"CASE WHEN hits_$lang > ($bh) THEN '$lang' ELSE ($bl) END",
+          s"CASE WHEN hits_$lang > ($bh) THEN hits_$lang ELSE ($bh) END")
+    }
+    s"""SELECT doc_id, ${bestExpr._1} AS lang_pred, ${bestExpr._2} AS marker_hits
+       |FROM (SELECT doc_id,
+       |    $hits
+       |  FROM documents)""".stripMargin
+  }
+
+  private val oracleQuality: String =
+    """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
         |  round(n_chars2 / n_tokens, 4) AS avg_token_len,
         |  round(punct / n_chars2, 6) AS punct_ratio,
         |  round(stop / n_tokens, 6) AS stopword_ratio,
@@ -210,7 +231,11 @@ object TextOps {
         |    CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
         |       + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\band\b'))
         |       + len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bla\b')) AS DOUBLE) AS stop
-        |  FROM documents)""".stripMargin,
+        |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" -> oracleLangId,
+    "q_quality_score" -> oracleQuality,
     "q_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -218,6 +243,17 @@ object TextOps {
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
         |    AS n_bpe_segments
         |FROM documents""".stripMargin,
+    "q_curation" -> {
+      val langSub = oracleLangId.linesIterator.mkString("\n  ")
+      val qualSub = oracleQuality.linesIterator.mkString("\n  ")
+      s"""SELECT d.doc_id, d.source, l.lang_pred, q.n_tokens, q.quality
+         |FROM documents d
+         |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+         |  ON d.doc_id = k.doc_id
+         |JOIN ($langSub) l ON l.doc_id = d.doc_id
+         |JOIN ($qualSub) q ON q.doc_id = d.doc_id
+         |WHERE l.lang_pred <> 'und' AND q.quality >= 0.5""".stripMargin
+    },
     // the twin decodes the query's constant entities with chr():
     // &amp;→&, &#233;→é(233), &#x2014;→—(8212), &nbsp;→NBSP(160)
     "q_html_strip" ->

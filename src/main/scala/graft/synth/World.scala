@@ -29,7 +29,16 @@ object World {
     x ^ (x >>> 31)
   }
 
-  def mix(parts: Long*): Long = parts.foldLeft(0x6A09E667F3BCC909L)((a, p) => mix64(a ^ p))
+  private final val MixInit = 0x6A09E667F3BCC909L
+
+  def mix(parts: Long*): Long = parts.foldLeft(MixInit)((a, p) => mix64(a ^ p))
+
+  // exact-arity overloads: the varargs form boxes a Seq per call, which
+  // dominated the MinHash inner loop (64 perms × shingles per doc) and a
+  // visible slice of pagePlan; these produce IDENTICAL values (same fold)
+  def mix(a: Long, b: Long): Long = mix64(mix64(MixInit ^ a) ^ b)
+  def mix(a: Long, b: Long, c: Long): Long = mix64(mix(a, b) ^ c)
+  def mix(a: Long, b: Long, c: Long, d: Long): Long = mix64(mix(a, b, c) ^ d)
 
   def hashStr(s: String): Long = {
     var h = 0xCBF29CE484222325L

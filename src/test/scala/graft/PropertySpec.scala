@@ -42,6 +42,18 @@ class PropertySpec extends AnyFunSuite {
     frag <- Gen.oneOf("", "#x", "#section-2")
   } yield s"$scheme://$hostCased/wiki/$seg?${q.mkString("&")}$frag"
 
+  test("exact-arity mix overloads equal the varargs fold (world determinism pin)") {
+    import graft.synth.World.mix
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val a = rnd.nextLong(); val b = rnd.nextLong()
+      val c = rnd.nextLong(); val d = rnd.nextLong()
+      assert(mix(a, b) == mix(Seq(a, b): _*))
+      assert(mix(a, b, c) == mix(Seq(a, b, c): _*))
+      assert(mix(a, b, c, d) == mix(Seq(a, b, c, d): _*))
+    }
+  }
+
   test("canonicalization is idempotent: canon(canon(u)) == canon(u)") {
     forAll(genUrl) { u =>
       val c = UrlCanon.canonicalize(u)
