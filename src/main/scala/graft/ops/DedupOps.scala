@@ -133,7 +133,31 @@ object DedupOps {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos")
   }
 
+  /** q_winnow_dedup — near-dup candidates by winnowing fingerprints
+    * (rolling-hash document fingerprints, Sigs.winnow): inverted-index
+    * self-join on fingerprint, pairs sharing ≥ minShared prints. Same
+    * shuffle shape as MinHash banding — O(prints/doc) rows per doc, never
+    * all-pairs; any shared run of ≥ w+k-1 chars guarantees a shared print
+    * (the winnowing theorem), so copy-paste duplication cannot hide. */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  k: Int = 24, w: Int = 16, minShared: Int = 2): DataFrame = {
+    import spark.implicits._
+    // k = 24 chars (~4 vocab words): long enough that unrelated docs over
+    // a small vocabulary rarely share a k-gram; shared runs ≥ w+k-1 = 39
+    // chars always fingerprint
+    val inv = t(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, tx) => Sigs.winnow(tx, k, w).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+    inv.as("a").join(inv.as("b"), Seq("fp"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_dedup" -> ((s: SparkSession, d: String) => winnowPairs(s, d)),
     "q_dedup_exact" -> (exactDedup _),
     "q_dedup_prefix" -> (prefixDedup _),
     "q_minhash_dedup" -> ((s: SparkSession, d: String) => minhashDedup(s, d)),

@@ -71,6 +71,64 @@ object Sigs {
   def simhashBands(sim: Long): Array[Long] =
     Array.tabulate(4)(j => mix(j.toLong, (sim >>> (j * 16)) & 0xFFFFL))
 
+  /** Karp-Rabin rolling hashes of every char k-gram: one O(n) pass, each
+    * window hash finalized through mix64. Equals hashing each substring
+    * directly (property-tested). */
+  def rollingKgramHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(mix64(polyHash(text, 0, n)))
+    val out = new Array[Long](n - k + 1)
+    val B = 1000003L
+    var pow = 1L // B^(k-1)
+    var i = 0
+    var h = 0L
+    while (i < k) {
+      h = h * B + text.charAt(i)
+      if (i < k - 1) pow *= B
+      i += 1
+    }
+    out(0) = mix64(h)
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      out(i - k + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def polyHash(s: String, from: Int, until: Int): Long = {
+    val B = 1000003L
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * B + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme): min k-gram hash per sliding window of w (rightmost on
+    * ties), positions deduped — guarantees any shared substring of length
+    * ≥ w+k-1 yields a shared fingerprint, while keeping O(n/w) prints per
+    * doc. The "rolling hash document fingerprinting" operator proper. */
+  def winnow(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    val hs = rollingKgramHashes(text, k)
+    if (hs.length <= w) return Array(hs.min)
+    val picks = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var lastPos = -1
+    var start = 0
+    while (start + w <= hs.length) {
+      var minPos = start
+      var p = start + 1
+      while (p < start + w) {
+        if (hs(p) <= hs(minPos)) minPos = p // rightmost min
+        p += 1
+      }
+      if (minPos != lastPos) { picks += hs(minPos); lastPos = minPos }
+      start += 1
+    }
+    picks.toArray
+  }
+
   /** Sign-LSH bucket over a float vector: nBits hyperplanes with
     * deterministic ±1 components from mix(i, d). */
   def signBucket(v: Seq[Float], nBits: Int): Long = {

@@ -104,6 +104,39 @@ class OpsSpec extends AnyFunSuite {
     assert(mean > 0.15)
   }
 
+  test("rolling k-gram hashes equal direct per-substring hashes") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaa", "ab", "")
+    texts.foreach { s =>
+      val k = 8
+      val rolled = Sigs.rollingKgramHashes(s, k)
+      if (s.length < k) assert(rolled.length == 1)
+      else (0 to s.length - k).foreach { i =>
+        assert(rolled(i) ==
+          graft.synth.World.mix64(Sigs.polyHash(s, i, i + k)),
+          s"pos $i of '$s'")
+      }
+    }
+  }
+
+  test("winnowing guarantees shared fingerprints for shared runs; finds the true near-dups") {
+    // winnowing theorem: any shared substring of length >= w+k-1 yields a
+    // shared fingerprint
+    val a = "x" * 5 + "the festival director premiere archive sequence" + "y" * 5
+    val b = "p" * 9 + "the festival director premiere archive sequence" + "q" * 9
+    val fa = Sigs.winnow(a, 24, 16).toSet
+    val fb = Sigs.winnow(b, 24, 16).toSet
+    assert(fa.intersect(fb).nonEmpty)
+
+    val got = DedupOps.winnowPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truePairs.count(got.contains)
+    val recall = hit.toDouble / truePairs.size
+    info(f"winnow recall on true near-dups = $recall%.2f; pairs found = ${got.size}")
+    assert(recall >= 0.9, s"recall $recall")
+    assert(got.size < 400, s"pair blowup: ${got.size}")
+  }
+
   test("exact dedup groups partition the table") {
     val df = DedupOps.exactDedup(spark, sf0001)
     val total = df.agg(sum($"group_size")).head.getLong(0)
