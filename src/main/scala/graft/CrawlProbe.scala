@@ -16,6 +16,8 @@ object CrawlProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -36,6 +36,8 @@ object RawBench {
       println(f"threads=$threads: ${units.length} units in $sec%.2f s = ${units.length / sec}%.0f u/s (spans=${spanCount.get})")
       sec
     }
-    run(8); run(32); run(8); run(32); run(1)
+    val plan = sys.env.getOrElse("THREADS", "8,32,8,32,1")
+      .split(",").map(_.trim.toInt)
+    plan.foreach(run)
   }
 }

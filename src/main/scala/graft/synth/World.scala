@@ -332,11 +332,11 @@ object World {
     if (hasContent) {
       val nIntro = bounded(mix(h, 40L), 4) // 0-3 intro blocks
       (0 until nIntro).foreach(i => blocks += bodyBlock(mix(h, 41L, i.toLong)))
-      // 0-29 h2 sections (plus h3 subsections ⇒ ~20-40 emitted section rows
-      // per doc — the reference's production ratio is ~76 section rows per
-      // (doc, lang): 177.2M rows over ~2.33M page-langs,
+      // 0-41 h2 sections (plus h3 subsections ⇒ ~60-80 emitted section rows
+      // per doc, matching the reference's production ratio of ~76 section
+      // rows per (doc, lang): 177.2M rows over ~2.33M page-langs,
       // doc/sql/Wikipedia-tables.sql:39,117)
-      val nH2 = bounded(mix(h, 42L), 30)
+      val nH2 = bounded(mix(h, 42L), 42)
       (0 until nH2).foreach { s =>
         val hs = mix(h, 43L, s.toLong)
         // ~20% of pages end with a no-subsplit end-matter section
@@ -351,7 +351,7 @@ object World {
         blocks += TextBlock("h2", h2Title)
         val nLead = bounded(mix(hs, 50L), 3)
         (0 until nLead).foreach(i => blocks += bodyBlock(mix(hs, 51L, i.toLong)))
-        val nH3 = bounded(mix(hs, 52L), 4) // 0-3 subsections (h3 also emitted in end-matter; parser must inline them there)
+        val nH3 = bounded(mix(hs, 52L), 5) // 0-4 subsections (h3 also emitted in end-matter; parser must inline them there)
         (0 until nH3).foreach { t =>
           val ht = mix(hs, 53L, t.toLong)
           blocks += TextBlock("h3", words(mix(ht, 54L), 1 + bounded(mix(ht, 55L), 2)).capitalize)

@@ -71,5 +71,12 @@ class StreamingSpec extends AnyFunSuite {
     val docsB = Crawl.docsView(spark, workB).collect()
       .map(d => d.doc_id -> d.spans).toMap
     assert(docsS == docsB)
+
+    // the candidate set was materialized ONCE and served both micro-batches
+    // (no full-world frontier recompute per batch — the scale contract)
+    val candDir = new java.io.File(s"$work/candidates")
+    assert(candDir.exists && candDir.isDirectory)
+    assert(spark.read.parquet(candDir.getPath).count() ==
+      Crawl.candidateUnits(spark, cfg).count())
   }
 }
