@@ -90,7 +90,7 @@ object Fetcher {
     // filename; ONE DOM parse per page answers every gallery lookup
     def fileNameOf(url: String) = url.substring(url.lastIndexOf('/') + 1)
     val galleryNames = gallery.map { case (_, ip) => fileNameOf(ip.url) }.distinct
-    // no gallery → nothing to look up → skip the DOM parse entirely
+    // no gallery → nothing to look up (the DOM already exists for sections)
     val captions =
       if (galleryNames.isEmpty) Map.empty[String, String]
       else graft.parse.CaptionMatcher.captionsForDom(dom, galleryNames)
