@@ -40,7 +40,12 @@ object DedupOps {
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
 
   /** Candidate pairs via MinHash LSH banding (b bands × r rows), verified
-    * with exact shingle Jaccard ≥ threshold. */
+    * with exact shingle Jaccard ≥ threshold.
+    *
+    * The returned frame is eagerly materialized (it is the small verified
+    * pair set) so the LARGE per-doc signature cache can be released before
+    * returning — a long-lived session (Bench runs the full headline set in
+    * one JVM) must not accumulate one shingle-table copy per invocation. */
   def minhashPairs(spark: SparkSession, dir: String,
                    b: Int = 16, r: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
@@ -64,26 +69,36 @@ object DedupOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    cand
+    val out = cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
+      .persist()
+    out.count() // materialize the (small) verified pairs …
+    sigs.unpersist() // … then free the big signature table
+    out
   }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir)
 
   /** q_simhash_dedup — SimHash near-dup pairs: 4 bands of 16 bits generate
-    * candidates; verified by full Hamming distance ≤ maxDist. */
+    * candidates; verified by full Hamming distance ≤ maxDist.
+    *
+    * maxDist = 3 < number of bands gives the PIGEONHOLE GUARANTEE: 3 bit
+    * errors cannot touch all 4 bands, so every pair at distance ≤ 3 shares
+    * at least one untouched band and is always a candidate — recall is
+    * exactly 1.0 by construction, which is what lets the driver's DuckDB
+    * twin (all-pairs bit_count(xor) ≤ 3 over the exported signatures) be a
+    * hard equality check. maxDist > bands-1 trades that guarantee for a
+    * wider net (probabilistic recall, sbt-measured). */
   def simhashDedup(spark: SparkSession, dir: String,
-                   maxDist: Int = 8): DataFrame = {
+                   maxDist: Int = 3): DataFrame = {
     import spark.implicits._
-    val banded = t(spark, dir, "documents")
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, tx) =>
-        val sim = Sigs.simhash(tx)
+    val banded = simhashSigs(spark, dir)
+      .flatMap { case (id, sim) =>
         Sigs.simhashBands(sim).map(bk => (id, sim, bk)) }
       .toDF("doc_id", "sim", "bandKey")
     banded.as("a").join(banded.as("b"), Seq("bandKey"))
@@ -92,6 +107,17 @@ object DedupOps {
         bit_count($"a.sim".bitwiseXOR($"b.sim")).as("dist"))
       .distinct()
       .filter($"dist" <= maxDist)
+  }
+
+  /** The per-doc SimHash signatures — shared by [[simhashDedup]] and the
+    * verify-time export that gives the DuckDB twin an independent view of
+    * the signature table (graft.queries.Exports). */
+  def simhashSigs(spark: SparkSession,
+                  dir: String): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, tx) => (id, Sigs.simhash(tx)) }
   }
 
   /** q_ngram_jaccard — exact n-gram Jaccard within a cheap blocking key
@@ -110,50 +136,130 @@ object DedupOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
   }
 
+  /** Planted-copy id offset for [[embeddingNearDup]] (kept far above any
+    * real vec_id so originals and copies never collide). */
+  val NearDupIdOffset = 10000000L
+
+  /** The multipliers of the deterministic near-dup derivation, cycled by
+    * coordinate index % 4. All are 1 ± 2^-5 / 1 ± 2^-6 — tiny angles AND
+    * exactly representable, so float×constant is the same double in Spark
+    * and DuckDB (no rounding divergence between the twins). */
+  val NearDupMults = Seq(1.03125, 0.96875, 1.015625, 0.984375)
+
+  /** The derived near-dup-rich embedding table: the input embeddings table
+    * carries NO near-duplicate pairs (max pairwise cosine ≈ 0.51 at every
+    * SF — measured with DuckDB's list_cosine_similarity), so the near-dup
+    * operator is demonstrated on a deterministic derivation the oracle can
+    * reproduce in SQL: every even vec_id gains a perturbed copy at
+    * id + [[NearDupIdOffset]], coordinate d scaled by NearDupMults(d % 4)
+    * — cosine(original, copy) ≈ 0.9997 vs the ≈0.51 background. */
+  def nearDupDerived(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val mults = array(NearDupMults.map(lit): _*)
+    base.unionByName(
+      base.filter(pmod($"vec_id", lit(2)) === 0)
+        .select(($"vec_id" + NearDupIdOffset).as("vec_id"),
+          transform($"v", (x, i) => x * element_at(mults, pmod(i, lit(4)) + 1))
+            .as("v")))
+  }
+
   /** q_embedding_neardup — near-duplicate pairs by embedding cosine via
-    * sign-LSH bucketing, verified with exact cosine ≥ threshold.
-    * Brute-force cosine is the test-time baseline (AnnOps.cosine).
+    * multi-probe sign-LSH bucketing, verified with exact cosine ≥
+    * threshold, over [[nearDupDerived]]. The DuckDB twin is the BRUTE
+    * FORCE pair set at the same threshold — equality holds exactly when
+    * candidate recall is 1.0, which the Hamming-≤2 probe ring delivers on
+    * the planted pairs (θ ≈ 0.025 rad ⇒ per-bit agreement 0.992; the sbt
+    * suite asserts brute-equality at every SF rather than a recall floor).
     *
     * nBits ≤ 0 (the default) sizes the hash adaptively from the table count
     * so expected bucket occupancy stays ~[[AnnOps.targetBucketSize]]: a
     * fixed width would make candidate generation O(n²/2^bits) — quadratic
-    * again at 10^10 rows. The count is one metadata-cheap scan. */
+    * again at 10^10 rows. At large widths the radius-2 probe ring is
+    * O(bits²) rows per vector — the standard multi-probe tradeoff against
+    * maintaining L independent tables (one table probed 1+b+b(b-1)/2 ways
+    * vs L shuffles of the full vector set; the ring only ships (id, probe)
+    * pairs, never the vectors). */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       nBits: Int = 0, threshold: Double = 0.25): DataFrame = {
+                       nBits: Int = 0, threshold: Double = 0.9,
+                       probeRadius: Int = 2): DataFrame = {
     import spark.implicits._
-    val base = t(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val bits = if (nBits > 0) nBits else AnnOps.adaptiveNBits(base.count())
-    val emb = base.as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, Sigs.signBucket(v, bits)) }
-      .toDF("vec_id", "embedding", "bucket")
-    emb.as("a").join(emb.as("b"), Seq("bucket"))
-      .filter($"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", round(AnnOps.cosine($"a.embedding", $"b.embedding"), 6))
+    val derived = nearDupDerived(spark, dir)
+    val bits = if (nBits > 0) nBits
+               else AnnOps.adaptiveNBits(
+                 AnnOps.cachedCount(s"neardup:$dir")(derived.count()))
+    val emb = derived.as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v, Sigs.signBucketD(v, bits)) }
+      .toDF("vec_id", "v", "bucket")
+    // probe ring: all buckets within Hamming ≤ probeRadius of a's bucket,
+    // WITHOUT the vector payload (id, probe only); b keeps one row per vec
+    val probes = emb.select($"vec_id", $"bucket")
+      .as[(Long, Long)]
+      .flatMap { case (id, bkt) =>
+        AnnOps.hammingBall(bkt, bits, probeRadius).map(p => (id, p)) }
+      .toDF("vec_id", "probe")
+    probes.as("a")
+      .join(emb.as("b"), $"a.probe" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .join(emb.select($"vec_id", $"v").as("av"), $"a.vec_id" === $"av.vec_id")
+      .withColumn("cos", round(AnnOps.cosine($"av.v", $"b.v"), 6))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos")
   }
 
-  /** q_winnow_dedup — near-dup candidates by winnowing fingerprints
+  /** q_winnow_dedup — near-dup pairs by winnowing fingerprints
     * (rolling-hash document fingerprints, Sigs.winnow): inverted-index
-    * self-join on fingerprint, pairs sharing ≥ minShared prints. Same
-    * shuffle shape as MinHash banding — O(prints/doc) rows per doc, never
-    * all-pairs; any shared run of ≥ w+k-1 chars guarantees a shared print
-    * (the winnowing theorem), so copy-paste duplication cannot hide. */
+    * self-join on fingerprint, candidates sharing ≥ minShared prints,
+    * verified with exact shingle Jaccard ≥ threshold. Same shuffle shape
+    * as MinHash banding — O(prints/doc) rows per doc, never all-pairs; any
+    * shared run of ≥ w+k-1 chars guarantees a shared print (the winnowing
+    * theorem), so copy-paste duplication cannot hide.
+    *
+    * maxDf is MOSS's noise threshold: a fingerprint present in more than
+    * maxDf documents (boilerplate — a license header, a shared template
+    * sentence) is dropped from the index BEFORE the self-join; without it
+    * one k-gram shared by d docs emits d² candidate rows. maxDf must
+    * exceed the largest true near-dup GROUP size (a group of g mutual
+    * near-dups legitimately shares prints g ways); 32 is far above the
+    * test worlds' group sizes and far below boilerplate fan-out. */
   def winnowPairs(spark: SparkSession, dir: String,
-                  k: Int = 24, w: Int = 16, minShared: Int = 2): DataFrame = {
+                  k: Int = 24, w: Int = 16, minShared: Int = 2,
+                  maxDf: Int = 32, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     // k = 24 chars (~4 vocab words): long enough that unrelated docs over
     // a small vocabulary rarely share a k-gram; shared runs ≥ w+k-1 = 39
-    // chars always fingerprint
-    val inv = t(spark, dir, "documents")
+    // chars always fingerprint. ONE pass computes prints AND the shingle
+    // set the verify stage reuses (same persist/release discipline as
+    // minhashPairs).
+    val sigs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, tx) => Sigs.winnow(tx, k, w).map(fp => (id, fp)) }
-      .toDF("doc_id", "fp")
-    inv.as("a").join(inv.as("b"), Seq("fp"))
+      .map { case (id, tx) =>
+        (id, Sigs.shingles(tx).sorted, Sigs.winnow(tx, k, w)) }
+      .toDF("doc_id", "sh", "prints")
+      .persist()
+    val inv = sigs.select($"doc_id", explode($"prints").as("fp"))
+    // document-frequency cap: prints in >maxDf docs are boilerplate noise
+    // (quadratic candidate blowup); prints in <2 docs cannot form a pair
+    val keptFps = inv.groupBy($"fp")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= maxDf)
+      .select($"fp")
+    val capped = inv.join(keptFps, Seq("fp"))
+    val cand = capped.as("a").join(capped.as("b"), Seq("fp"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
+      .select($"doc_a", $"doc_b")
+    val out = cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .persist()
+    out.count()
+    sigs.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,6 +271,32 @@ object DedupOps {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)))
 
+  /** Independent DuckDB twin of the shingle kernel: word 3-grams (whole
+    * text when <3 words), distinct, Jaccard = |∩|/|∪| rounded BEFORE the
+    * threshold filter — exactly Sigs.shingles + DedupOps.jaccard. With
+    * `blocked = false` this is the BRUTE-FORCE pair set at the threshold:
+    * the hard oracle for every candidate-generator query (minhash,
+    * winnow), green exactly when candidate recall is 1.0. */
+  private def shingleJaccardSql(threshold: Double, blocked: Boolean): String = {
+    val joinCond =
+      if (blocked) "a.blk = b.blk AND a.doc_id < b.doc_id"
+      else "a.doc_id < b.doc_id"
+    s"""WITH d AS (
+       |  SELECT doc_id, substr(text, 1, 20) AS blk,
+       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |                i -> array_to_string(w[i:i+2], ' '))) END AS sh
+       |  FROM (SELECT doc_id, text,
+       |          regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |  FROM d a JOIN d b ON $joinCond)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS group_size
@@ -173,22 +305,40 @@ object DedupOps {
       """SELECT md5(substr(text, 1, 20)) AS fp, min(doc_id) AS keeper,
         |  count(*) AS group_size
         |FROM documents GROUP BY md5(substr(text, 1, 20)) HAVING count(*) > 1""".stripMargin,
-    // independent twin of the shingle kernel: word 3-grams (whole text when
-    // <3 words), distinct, Jaccard = |∩|/|∪| rounded BEFORE the threshold
-    // filter — exactly Sigs.shingles + DedupOps.jaccard
-    "q_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, substr(text, 1, 20) AS blk,
-        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-        |                i -> array_to_string(w[i:i+2], ' '))) END AS sh
-        |  FROM (SELECT doc_id, text,
-        |          regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+    "q_ngram_jaccard" -> shingleJaccardSql(0.5, blocked = true),
+    // brute-force twins of the LSH candidate generators: equality holds
+    // exactly when candidate recall is 1.0 at the verify threshold (the
+    // sbt suite asserts that equality on the same data)
+    "q_minhash_dedup" -> shingleJaccardSql(0.8, blocked = false),
+    "q_winnow_dedup" -> shingleJaccardSql(0.8, blocked = false),
+    // brute-force cosine pair set over the SAME derived near-dup table
+    // (original embeddings carry no pairs above cosine ≈0.51; the planted
+    // copies sit at ≈0.9997 — see nearDupDerived)
+    "q_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), derived AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |    list_transform(generate_series(1, len(v)), i ->
+        |      v[i] * (CASE (i - 1) % 4 WHEN 0 THEN 1.03125 WHEN 1 THEN 0.96875
+        |              WHEN 2 THEN 1.015625 ELSE 0.984375 END))
+        |  FROM base WHERE vec_id % 2 = 0
         |)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.5""".stripMargin)
+        |SELECT vec_a, vec_b, cos FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM derived a JOIN derived b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.9""".stripMargin,
+    // all-pairs Hamming over the exported signature table: recall at
+    // maxDist 3 < 4 bands is pigeonhole-guaranteed, so this is equality,
+    // not a bound (the simhash kernel itself is sbt ground-truthed)
+    "q_simhash_dedup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+        |FROM read_parquet('__EXPORT__/export_simhash/*.parquet') a
+        |JOIN read_parquet('__EXPORT__/export_simhash/*.parquet') b
+        |  ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)
 }

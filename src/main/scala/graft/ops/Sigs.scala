@@ -147,4 +147,23 @@ object Sigs {
     }
     bucket
   }
+
+  /** [[signBucket]] over a double vector — identical hyperplanes, so a
+    * float vector and its exact double image land in the same bucket. */
+  def signBucketD(v: Seq[Double], nBits: Int): Long = {
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) {
+        val sign = if ((mix(i.toLong, d.toLong) & 1L) == 1L) 1.0 else -1.0
+        proj += v(d) * sign
+        d += 1
+      }
+      if (proj > 0) bucket |= (1L << i)
+      i += 1
+    }
+    bucket
+  }
 }

@@ -62,5 +62,18 @@ object Exports {
     MultimodalOps.exportMediaMeta(spark, sfDir)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/export_media_meta")
+
+    // signature tables for the dedup/ANN oracles: DuckDB independently
+    // recomputes everything DOWNSTREAM of the kernel (banding recall,
+    // all-pairs Hamming, probe ring + ranking); the kernels themselves are
+    // sbt ground-truthed (OpsSpec: brute-force equality / property tests)
+    graft.ops.DedupOps.simhashSigs(spark, sfDir)
+      .toDF("doc_id", "simhash")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_simhash")
+
+    graft.ops.AnnOps.lshBucketAssignments(spark, sfDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_lsh_buckets")
   }
 }

@@ -48,7 +48,22 @@ object StreamingCrawl {
   private[graft] def ensureCandidates(spark: SparkSession,
                                       cfg: CrawlConfig): Unit = {
     val dir = new java.io.File(candidatesPath(cfg))
-    if (!dir.exists) {
+    // the candidate set is a pure function of (seed, nEntities) — stamp it
+    // so reusing a workDir with a CHANGED config fails fast instead of
+    // silently serving the stale set to every micro-batch (the rest of the
+    // workDir state — seen sets, manifests — is config-bound the same way,
+    // so a silent rebuild would still mix worlds; failing is the safe move)
+    val stampVal = s"${cfg.seed},${cfg.nEntities}"
+    val stamp = new java.io.File(dir, "_cfg") // `_`-prefixed: parquet-invisible
+    if (dir.exists) {
+      val found = if (stamp.exists)
+        new String(java.nio.file.Files.readAllBytes(stamp.toPath), "UTF-8")
+      else "<missing>"
+      if (found != stampVal)
+        throw new IllegalStateException(
+          s"candidate set at $dir was built for (seed,nEntities)=($found), " +
+            s"but this config is ($stampVal) — use a fresh workDir")
+    } else {
       val tmp = new java.io.File(candidatesPath(cfg) + ".tmp")
       if (tmp.exists) { // crashed materialization — rebuild
         def rm(f: java.io.File): Unit = {
@@ -58,6 +73,8 @@ object StreamingCrawl {
       }
       Crawl.candidateUnits(spark, cfg).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+      java.nio.file.Files.write(new java.io.File(tmp, "_cfg").toPath,
+        stampVal.getBytes("UTF-8"))
       if (!tmp.renameTo(dir))
         throw new java.io.IOException(s"cannot commit candidate set at $dir")
     }

@@ -22,22 +22,32 @@ class OpsSpec extends AnyFunSuite {
     } yield (math.min(a._1, b._1), math.max(a._1, b._1))).toSet
   }
 
-  test("minhash LSH finds the true near-duplicate pairs (high recall, exact precision)") {
+  test("minhash LSH pair set EQUALS brute force at the threshold (recall 1.0)") {
     val got = DedupOps.minhashPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truePairs.nonEmpty, "fixture should contain near-dups")
-    // precision is exact by construction (verified with true Jaccard)
-    assert(got.subsetOf(truePairs))
-    // recall: 16 bands x 4 rows at j>=0.8 -> expected recall ~1
-    val recall = got.size.toDouble / truePairs.size
-    assert(recall >= 0.9, s"recall $recall (${got.size}/${truePairs.size})")
+    // precision is exact by construction (verified with true Jaccard);
+    // asserting EQUALITY (not a recall floor) is what licenses the
+    // driver's brute-force DuckDB twin as a hard oracle row
+    assert(got == truePairs,
+      s"missed: ${truePairs -- got}; extra: ${got -- truePairs}")
   }
 
-  test("simhash candidates cover the true near-duplicate pairs") {
+  test("simhash pair set EQUALS brute-force Hamming<=3 (pigeonhole recall)") {
+    // ground truth: driver-side simhash of every doc, all-pairs distance
+    val sims = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, tx) => id -> Sigs.simhash(tx) }
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
     val got = DedupOps.simhashDedup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val covered = truePairs.count(got.contains).toDouble / truePairs.size
-    assert(covered >= 0.9, s"simhash covered only $covered of true pairs")
+    assert(brute.nonEmpty, "fixture should contain simhash-close pairs")
+    // maxDist 3 < 4 bands: 3 bit errors cannot touch all four 16-bit
+    // bands, so banding recall is guaranteed — equality, not a bound
+    assert(got == brute, s"missed: ${brute -- got}; extra: ${got -- brute}")
   }
 
   test("ngram jaccard within prefix blocks equals brute-force within blocks") {
@@ -48,21 +58,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("embedding near-dup LSH pairs are confirmed by brute-force cosine") {
+  test("embedding near-dup pair set EQUALS brute-force cosine at the threshold") {
+    // ground truth: the same derived table (originals + planted perturbed
+    // copies) brute-forced driver-side
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    val mults = DedupOps.NearDupMults
+    val derived: Seq[(Long, Seq[Double])] =
+      emb.toSeq.map { case (id, v) => (id, v.map(_.toDouble)) } ++
+        emb.toSeq.collect { case (id, v) if id % 2 == 0 =>
+          (id + DedupOps.NearDupIdOffset,
+            v.zipWithIndex.map { case (x, i) => x.toDouble * mults(i % 4) }.toSeq)
+        }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val got = graft.ops.DedupOps.embeddingNearDup(spark, sf0001).collect()
-    val byId = emb.toMap
-    got.foreach { r =>
-      val c = cos(byId(r.getLong(0)), byId(r.getLong(1)))
-      assert(math.abs(c - r.getDouble(2)) < 1e-4)
-      assert(c >= 0.25)
-    }
-    assert(got.nonEmpty)
+    val brute = (for {
+      (a, va) <- derived; (b, vb) <- derived if a < b
+      if cos(va, vb) >= 0.9
+    } yield (a, b)).toSet
+    val got = DedupOps.embeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "derivation must plant near-dup pairs")
+    // multi-probe (Hamming<=2) candidate recall must be total on the
+    // planted pairs — equality licenses the driver's brute-force twin
+    assert(got == brute, s"missed: ${brute -- got}; extra: ${got -- brute}")
   }
 
   test("ann lsh results are a subset of brute-force candidates with decent recall@10") {
@@ -99,9 +121,20 @@ class OpsSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"ann ivf mean recall@10 = $mean%.2f")
-    // 4-probe IVF over 16 sampled lists scans ~25% of the table — recall
-    // should comfortably beat that fraction on structured neighborhoods
+    // 4-probe IVF over ceil(√500)=23 sampled lists scans ~17% of the
+    // table — recall should comfortably beat that fraction on structured
+    // neighborhoods
     assert(mean > 0.15)
+  }
+
+  test("ivf adaptive list count is √n-shaped, floored and capped") {
+    assert(AnnOps.adaptiveNLists(0) == 16)
+    assert(AnnOps.adaptiveNLists(256) == 16)
+    assert(AnnOps.adaptiveNLists(500) == 23) // ceil(√500) — matches the oracle SQL
+    assert(AnnOps.adaptiveNLists(1000000) == 1000)
+    // 10^10 vectors: √n = 100k exceeds the broadcast cap → 65536 lists,
+    // NOT the 39M that round 2's linear n/256 sizing would have collected
+    assert(AnnOps.adaptiveNLists(10000000000L) == 65536)
   }
 
   test("rolling k-gram hashes equal direct per-substring hashes") {
@@ -130,11 +163,34 @@ class OpsSpec extends AnyFunSuite {
 
     val got = DedupOps.winnowPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val hit = truePairs.count(got.contains)
-    val recall = hit.toDouble / truePairs.size
-    info(f"winnow recall on true near-dups = $recall%.2f; pairs found = ${got.size}")
-    assert(recall >= 0.9, s"recall $recall")
-    assert(got.size < 400, s"pair blowup: ${got.size}")
+    // candidates (>=2 shared prints, df-capped) + exact Jaccard verify
+    // must equal brute force at the threshold — the driver's hard row
+    assert(got == truePairs,
+      s"missed: ${truePairs -- got}; extra: ${got -- truePairs}")
+  }
+
+  test("winnow df cap prunes boilerplate without losing true near-dups") {
+    // 50 docs sharing one boilerplate sentence (plus unique filler) would
+    // flood the fingerprint self-join quadratically; one true near-dup
+    // pair must still be found after the cap drops the shared prints
+    val boiler = "all models are wrong but some models are useful in practice"
+    val docs = (0 until 50).map { i =>
+      val unique = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$unique $boiler")
+    } ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val dir = java.nio.file.Files.createTempDirectory("winnow-cap").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // the cap is genuinely exercised: the boilerplate prints have df=50
+    val dfByFp = docs.flatMap { case (id, tx) =>
+      Sigs.winnow(tx, 24, 16).map(fp => (fp, id)) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.size }
+    assert(dfByFp.exists(_ >= 50), "fixture must contain df-50 boilerplate prints")
+    val got = DedupOps.winnowPairs(spark, dir, maxDf = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"expected only the true near-dup pair, got $got")
   }
 
   test("exact dedup groups partition the table") {
