@@ -32,11 +32,6 @@ object Bench {
     s
   }
 
-  /** One full crawl of an nEntities world in as few ticks as possible
-    * (large budget): measures scheduled+fetched+parsed URLs per second. */
-  /** Best-of-N timed crawls at one parallelism level (this sandbox VM has
-    * noisy wall-clock; the minimum is the least-contended measurement of
-    * the same deterministic work). */
   /** tmpfs when available: the measurement targets compute+shuffle
     * throughput, not this sandbox's virtio disk (whose latency noise
     * dominated whole-run timings). */
@@ -48,43 +43,157 @@ object Bench {
     Files.createTempDirectory(base, prefix).toString
   }
 
-  /** Min-of-reps with OUTLIER REJECTION: this VM's wall-clock is noisy
-    * (round-1 caught a 175s sample against a 68-73s baseline, which min-of-2
-    * could not reject) — keep sampling (up to maxReps) until the two fastest
-    * reps agree within 25%, then report the min. */
-  private def crawlRun(cpus: Int, nEntities: Long,
-                       minReps: Int, maxReps: Int): (Long, Double) = {
+  // ---- crawl-scaling measurement: INTERLEAVED reps + contention probe ----
+  //
+  // Round 2's driver run measured 0.716 efficiency from a 4N rep BLOCK that
+  // hit a contended machine window (reps 106.5/59.7/43.1/45.6/120.3 s — a
+  // 2.8× spread; the N block right after was quiet). Two fixes:
+  //  1. N and 4N reps ALTERNATE, so a contended window cannot eat one whole
+  //     side's sample budget — each side sees every quiet window;
+  //  2. a cheap memory-streaming probe brackets every rep; a DIRTY rep
+  //     (adjacent probes >1.3× the rolling probe floor) that is also slow
+  //     does not count toward the convergence quota — the measurement buys
+  //     a replacement rep instead of stopping on a contended window.
+  // The reported value per side is min over ALL reps: contention is
+  // one-directional (it can only SLOW a deterministic job, never speed it
+  // up), so a fast rep is self-evidencing and excluding a falsely-flagged
+  // fast rep would bias the result, while a contaminated slow rep can
+  // never become the min anyway. The probe's job is purely to keep
+  // sampling through contended windows (and to document them).
+  // The probe floor is a ROLLING min over the recent probe history, not a
+  // global one: the JVM's "idle" probe time drifts upward after large
+  // Spark heaps have churned (measured 127→195 ms across one run), and a
+  // fixed pre-Spark floor would mark every later quiet rep dirty.
+  // Persistent whole-run contention is handled by the interleaving itself
+  // — it hits both sides equally, so the RATIO stays honest.
+
+  /** 256 MB streamed twice per probe (~50-80 ms idle): slows under BOTH
+    * CPU oversubscription and memory-bandwidth contention — the two ways a
+    * sandbox neighbor corrupts a crawl timing. */
+  private lazy val probeArr: Array[Long] = {
+    val a = new Array[Long](1 << 25)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  @volatile private var probeSink = 0L
+  private def probeMs(): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L
+    var pass = 0
+    while (pass < 2) {
+      var i = 0
+      while (i < probeArr.length) { s += probeArr(i); i += 1 }
+      pass += 1
+    }
+    probeSink = s
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private case class Rep(sec: Double, clean: Boolean)
+
+  /** One timed crawl rep at `cpus`, bracketed by probes; session created
+    * and stopped per rep (one SparkContext per JVM and `master` is
+    * context-level, so interleaving parallelism levels REQUIRES per-rep
+    * contexts; JIT + Spark's JVM-global codegen cache persist across them,
+    * so the one-time warmups below still pay off). */
+  private def crawlRep(cpus: Int, nEntities: Long, warm: Boolean,
+                       probeBase: Double): (Long, Rep) = {
     val spark = newSession(cpus)
     try {
-      // warmup: JIT the whole pipeline (codegen, parser, writers) so the
-      // measurements below are steady-state throughput, not compiler time
-      val warmDir = benchTmp(s"graft-bench-w$cpus")
-      Crawl.run(spark, CrawlConfig(seed = 7L, nEntities = 4000L,
-        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
-        workDir = warmDir))
-      deleteRec(new java.io.File(warmDir)) // tmpfs hygiene across runs
-
-      var urls = 0L
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def converged: Boolean = times.sorted.toSeq match {
-        case a +: b +: _ => b / a <= 1.15
-        case _           => false
+      if (warm) {
+        val warmDir = benchTmp(s"graft-bench-w$cpus")
+        Crawl.run(spark, CrawlConfig(seed = 7L, nEntities = 4000L,
+          budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
+          workDir = warmDir))
+        deleteRec(new java.io.File(warmDir))
       }
-      while (times.length < minReps || (times.length < maxReps && !converged)) {
-        val work = benchTmp(s"graft-bench-c$cpus")
-        val cfg = CrawlConfig(seed = 42L, nEntities = nEntities,
-          budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3, workDir = work)
-        val t0 = System.nanoTime()
-        val res = Crawl.run(spark, cfg)
-        val sec = (System.nanoTime() - t0) / 1e9
-        urls = res.map(_.scheduled).sum
-        times += sec
-        deleteRec(new java.io.File(work)) // keep tmpfs bounded across reps
-      }
+      // min-of-2 per bracket: the probe's own run-to-run jitter (~20-30%)
+      // would otherwise mark quiet reps dirty
+      val p0 = math.min(probeMs(), probeMs())
+      val work = benchTmp(s"graft-bench-c$cpus")
+      val cfg = CrawlConfig(seed = 42L, nEntities = nEntities,
+        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3, workDir = work)
+      val t0 = System.nanoTime()
+      val res = Crawl.run(spark, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val urls = res.map(_.scheduled).sum
+      deleteRec(new java.io.File(work)) // keep tmpfs bounded across reps
+      val p1 = math.min(probeMs(), probeMs())
+      val clean = math.max(p0, p1) <= probeBase * 1.3
       System.err.println(
-        f"[bench] cpus=$cpus reps=${times.length} times=${times.map(t => f"$t%.1f").mkString(",")}")
-      (urls, times.min)
+        f"[bench] cpus=$cpus rep=$sec%.1fs probes=$p0%.0f/$p1%.0fms " +
+          f"base=$probeBase%.0fms clean=$clean")
+      (urls, Rep(sec, clean))
     } finally spark.stop()
+  }
+
+  /** Interleaved N/4N scaling measurement. Per side: min over ALL reps;
+    * rounds continue past minRounds until each side's two fastest
+    * COUNTABLE reps (not both dirty-and-slow) agree within 15%, up to
+    * maxRounds plus cheap 4N-only toppers, bounded by a deadline. */
+  private def crawlScaling(nCores: Int, nEntities: Long,
+                           minRounds: Int = 3, maxRounds: Int = 5,
+                           deadlineSec: Double = 900.0):
+      (Long, Double, Double) = {
+    val c4 = nCores * 4
+    // probe history: rolling floor over the last `probeWindow` samples —
+    // seeded here (post-JIT), refreshed after every rep
+    (1 to 3).foreach(_ => probeMs())
+    val probeHist = scala.collection.mutable.ArrayBuffer.fill(5)(probeMs())
+    val probeWindow = 8
+    def probeFloor: Double = probeHist.takeRight(probeWindow).min
+    val reps = Map(nCores -> scala.collection.mutable.ArrayBuffer.empty[Rep],
+      c4 -> scala.collection.mutable.ArrayBuffer.empty[Rep])
+    var urls = 0L
+    val start = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - start) / 1e9
+    // a dirty rep that is also >1.3× its side's fastest is a rejected
+    // sample: it doesn't satisfy the quota (we sample more); a dirty-but-
+    // fast rep counts — contention cannot manufacture a fast time
+    def countable(c: Int): Seq[Double] = {
+      val all = reps(c).toSeq
+      if (all.isEmpty) Seq.empty
+      else {
+        val m = all.map(_.sec).min
+        all.filter(r => r.clean || r.sec <= 1.3 * m).map(_.sec)
+      }
+    }
+    def sideConverged(c: Int): Boolean = countable(c).sorted match {
+      case a +: b +: _ => b / a <= 1.15
+      case _           => false
+    }
+    def rep(c: Int, warm: Boolean): Unit = {
+      val (u, r) = crawlRep(c, nEntities, warm, probeFloor)
+      urls = u
+      reps(c) += r
+      probeHist += probeMs()
+      probeHist += probeMs()
+    }
+    var round = 0
+    while (round < maxRounds &&
+           (round < minRounds || !(sideConverged(c4) && sideConverged(nCores))) &&
+           (round == 0 || elapsed < deadlineSec)) {
+      // 4N first within each round: the short, noise-sensitive side gets
+      // the freshest window after the (quiet-making) session teardown
+      rep(c4, warm = round == 0)
+      rep(nCores, warm = round == 0)
+      round += 1
+    }
+    // cheap toppers: if only the 4N side is unconverged, buy extra 4N reps
+    var toppers = 0
+    while (toppers < 3 && !sideConverged(c4) && sideConverged(nCores) &&
+           elapsed < deadlineSec) {
+      rep(c4, warm = false)
+      toppers += 1
+    }
+    def report(c: Int): Double = {
+      val best = reps(c).map(_.sec).min
+      System.err.println(
+        f"[bench] cpus=$c reps=${reps(c).map(r => f"${r.sec}%.1f${if (r.clean) "" else "*"}").mkString(",")} -> $best%.2fs (*=dirty)")
+      best
+    }
+    (urls, report(nCores), report(c4))
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -133,14 +242,9 @@ object Bench {
     // cores (local[4] vs local[16] on this 32-core box — headroom left for
     // GC/shuffle threads so the measurement is the job, not the machine)
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
-    // asymmetric reps: the 4N runs are ~3.5x cheaper, so buy more samples
-    // there — this VM's wall-clock noise otherwise understates the fast side
-    // 4N measured FIRST: its shorter runs are the noise-sensitive side
-    // (one slow sample understates scaling), so it gets the freshest
-    // machine window AND the most samples; min-of-reps on both sides is
-    // the right estimator for byte-identical deterministic work
-    val (n32, sec32) = crawlRun(nCores * 4, crawlEntities, minReps = 5, maxReps = 8)
-    val (n8, sec8) = crawlRun(nCores, crawlEntities, minReps = 3, maxReps = 5)
+    val (nUrls, sec8, sec32) = crawlScaling(nCores, crawlEntities)
+    val n8 = nUrls
+    val n32 = nUrls
     val thr8 = n8 / sec8
     val thr32 = n32 / sec32
     val eff = (thr32 / thr8) / 4.0

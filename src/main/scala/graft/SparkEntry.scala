@@ -18,6 +18,7 @@ object SparkEntry {
       graft.ops.DedupOps.queries ++
       graft.ops.AnnOps.queries ++
       graft.ops.MultimodalOps.queries ++
+      graft.store.Cleanup.queries ++
       graft.queries.CrawlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.ops.DedupOps.oracle ++
       graft.ops.AnnOps.oracle ++
       graft.ops.MultimodalOps.oracle ++
+      graft.store.Cleanup.oracle ++
       graft.queries.CrawlQueries.oracle
 }

@@ -35,9 +35,13 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist"),
     "zh" -> Seq("de", "shi", "zhe", "he"))
 
+  /** Total marker-word hits as ONE alternation regex pass. Equal to the
+    * per-word sum (each match position matches exactly one distinct word),
+    * but 1 text scan instead of |words| — measured on q_curation, the
+    * per-word battery was the whole query's cost (25 regex passes/row). */
   private def markerHits(text: Column, words: Seq[String]): Column =
-    words.map(w => size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0))))
-      .reduce(_ + _)
+    size(regexp_extract_all(text,
+      lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
 
   /** Adds lang_pred + marker_hits columns (argmax of marker-word hits,
     * 'und' when all zero) — reused by [[langId]] and [[curation]]. */
@@ -215,8 +219,7 @@ object TextOps {
 
   private val oracleLangId: String = {
     val hits = langMarkers.map { case (lang, ws) =>
-      val sum = ws.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
-      s"($sum) AS hits_$lang"
+      s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS hits_$lang"
     }.mkString(",\n    ")
     val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
       case ((bl, bh), lang) =>
@@ -241,9 +244,7 @@ object TextOps {
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
         |    CAST(length(text) AS DOUBLE) AS n_chars2,
         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
-        |       + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\band\b'))
-        |       + len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bla\b')) AS DOUBLE) AS stop
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|le|la)\b')) AS DOUBLE) AS stop
         |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -73,6 +73,45 @@ class MergeStoreSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("clear_shared_images clears over-shared, preserves unique AND sub-threshold shared (inverse guard)") {
+    import graft.store.Cleanup
+    val out = Cleanup.clearSharedImages(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    assert(out.size == docs.length)
+    docs.foreach { id =>
+      if (id % 5 == 0)
+        // the shared_N pools carry ~33 docs each >= threshold -> cleared
+        assert(out(id) == "", s"doc $id should be cleared, got '${out(id)}'")
+      else if (id % 7 == 1)
+        // shared by 2-3 docs — BELOW the threshold: the migration's own
+        // guard (a real flag photo is legitimately shared) — must survive
+        assert(out(id) == s"dup_${id % 25}", s"doc $id lost its image")
+      else
+        assert(out(id) == s"img_$id", s"doc $id lost its unique image")
+    }
+  }
+
+  test("clear_chrome_rows deletes every planted chrome row, keeps every lookalike") {
+    import graft.store.Cleanup
+    val work = graft.queries.CrawlQueries.sharedCrawl(spark)
+    val before = Cleanup.galleryWithPlanted(spark, work)
+      .select("file_name").as[String].collect()
+    assert(Cleanup.plantedChrome.forall(before.contains),
+      "fixture must plant all four chrome shapes")
+    assert(Cleanup.plantedLookalikes.forall(before.contains),
+      "fixture must plant the lookalikes")
+    val after = Cleanup.clearChromeRows(spark, sf0001)
+      .select("file_name").as[String].collect()
+    Cleanup.plantedChrome.foreach(n =>
+      assert(!after.contains(n), s"chrome row $n survived the delete"))
+    Cleanup.plantedLookalikes.foreach(n =>
+      assert(after.contains(n), s"lookalike $n was wrongly deleted"))
+    // the hard delete removed EXACTLY the chrome rows, nothing else
+    assert(before.length - after.length == before.count(Cleanup.plantedChrome.contains))
+  }
+
   test("compact clears stale leftovers from a crashed compact and never strands the table") {
     val dir = fresh()
     MergeStore.ingest(Seq((1L, "en", "a", "g0", "i0"))
