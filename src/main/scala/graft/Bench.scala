@@ -101,13 +101,16 @@ object Bench {
                        probeBase: Double): (Long, Rep) = {
     val spark = newSession(cpus)
     try {
-      if (warm) {
-        val warmDir = benchTmp(s"graft-bench-w$cpus")
-        Crawl.run(spark, CrawlConfig(seed = 7L, nEntities = 4000L,
-          budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
-          workDir = warmDir))
-        deleteRec(new java.io.File(warmDir))
-      }
+      // EVERY rep runs in a fresh SparkContext, whose first job pays
+      // scheduler/executor/broadcast init — a tiny warmup crawl absorbs
+      // that outside the timed window (first-round warmups are bigger, to
+      // JIT the whole pipeline)
+      val warmDir = benchTmp(s"graft-bench-w$cpus")
+      Crawl.run(spark, CrawlConfig(seed = 7L,
+        nEntities = if (warm) 4000L else 1000L,
+        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
+        workDir = warmDir))
+      deleteRec(new java.io.File(warmDir))
       // min-of-2 per bracket: the probe's own run-to-run jitter (~20-30%)
       // would otherwise mark quiet reps dirty
       val p0 = math.min(probeMs(), probeMs())

@@ -11,7 +11,8 @@ import graft.crawl.Crawl.CrawlConfig
 object BenchDebug {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("N", "150000").toLong
-    Seq(8).foreach { cpus =>
+    val sides = sys.env.getOrElse("CPUS", "8").split(",").map(_.trim.toInt).toSeq
+    sides.foreach { cpus =>
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"dbg$cpus")

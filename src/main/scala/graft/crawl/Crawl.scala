@@ -254,10 +254,12 @@ object Crawl {
                          fresh: Dataset[CrawlUnit]): TickResult = {
     import spark.implicits._
 
+    // NOT cached: the batch has exactly one consumer (the fetch+parse+write
+    // job below) — a cache here is a pure memory-store write of the full
+    // batch inside the hot job (and at 10^10 URLs, an eviction storm)
     val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
       .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
         $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
-      .cache()
 
     val seed = cfg.seed
     // fetch+parse on executors; pure fn of the unit → identical at any
@@ -318,8 +320,6 @@ object Crawl {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
     }
-    batch.unpersist()
-
     val m = obs.get
     val scheduledCount = m("n").asInstanceOf[Long]
     if (scheduledCount == 0) {
@@ -419,18 +419,38 @@ object Crawl {
     * persisted manifest — the M7 protocol: the seen table is the state,
     * manifests are the watermark lineage. */
   def run(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
+    import spark.implicits._
     cleanPartialTicks(cfg.workDir) // drop half-persisted state before resume
     val start = completedTicks(cfg.workDir)
-    val candidates = candidateUnits(spark, cfg).cache()
-    val total = phase("candidates+count")(candidates.count())
+    // the candidate total (needed only for the frontier-exhaustion check)
+    // rides the FIRST tick's fetch+parse+write job via observe(): a
+    // separate count action would serialize a full candidate
+    // synthesis+shuffle pass BEFORE any fetch work starts (measured 6.4 s
+    // of the 39 s 8-core bench run — pure Amdahl loss); observed inside
+    // the job, the synthesis pipelines with the parse work instead
+    // NOT cached: a memory-store fill of the full candidate set inside the
+    // fetch job competes with the parse's allocation for the heap (measured
+    // +16 s on the 8-core 500k run when the cache materialized mid-job);
+    // re-synthesis per tick is a few seconds of fully-parallel work, paid
+    // only by multi-tick runs (whose worlds are small — the bench world
+    // exhausts in one tick; the streaming driver persists candidates to
+    // parquet instead, see StreamingCrawl.ensureCandidates)
+    val obsCand = new org.apache.spark.sql.Observation("candidates_total")
+    val candidates = candidateUnits(spark, cfg)
+      .observe(obsCand, count(lit(1)).as("total"))
+    // resume path (rare): the exhaustion check is needed BEFORE the next
+    // tick runs, so it pays the explicit count
+    var total = if (start == 0) -1L
+                else phase("candidates+count(resume)")(candidates.count())
     var crawled =
       if (start == 0) 0L
       else readSeen(spark, cfg.workDir).count()
     val out = Vector.newBuilder[TickResult]
     var i = start
-    var done = crawled >= total
+    var done = total >= 0 && crawled >= total
     while (i < cfg.maxTicks && !done) {
       val r = tick(spark, cfg, i, Some(candidates))
+      if (total < 0) total = obsCand.get("total").asInstanceOf[Long]
       done = r.done
       if (!r.done) out += r
       crawled += r.scheduled
@@ -438,7 +458,6 @@ object Crawl {
       if (crawled >= total) done = true
       i += 1
     }
-    candidates.unpersist()
     out.result()
   }
 

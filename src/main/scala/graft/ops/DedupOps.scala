@@ -140,49 +140,44 @@ object DedupOps {
     * real vec_id so originals and copies never collide). */
   val NearDupIdOffset = 10000000L
 
-  /** The multipliers of the deterministic near-dup derivation, cycled by
-    * coordinate index % 4. All are 1 ± 2^-5 / 1 ± 2^-6 — tiny angles AND
-    * exactly representable, so float×constant is the same double in Spark
-    * and DuckDB (no rounding divergence between the twins). */
-  val NearDupMults = Seq(1.03125, 0.96875, 1.015625, 0.984375)
-
   /** The derived near-dup-rich embedding table: the input embeddings table
     * carries NO near-duplicate pairs (max pairwise cosine ≈ 0.51 at every
     * SF — measured with DuckDB's list_cosine_similarity), so the near-dup
     * operator is demonstrated on a deterministic derivation the oracle can
-    * reproduce in SQL: every even vec_id gains a perturbed copy at
-    * id + [[NearDupIdOffset]], coordinate d scaled by NearDupMults(d % 4)
-    * — cosine(original, copy) ≈ 0.9997 vs the ≈0.51 background. */
+    * reproduce in SQL: every even vec_id gains a ×2-scaled copy at
+    * id + [[NearDupIdOffset]] — the unnormalized-duplicate case (same
+    * direction, different magnitude; cosine exactly 1 vs the ≈0.51
+    * background). The multiplier is deliberately a POWER OF TWO: IEEE
+    * scaling by 2 is exact at every coordinate AND through every partial
+    * sum, so sign-LSH projections scale exactly and the copy provably
+    * lands in the original's bucket — candidate recall is 1.0 by
+    * construction, not by tuning, at ANY hash width. */
   def nearDupDerived(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val mults = array(NearDupMults.map(lit): _*)
     base.unionByName(
       base.filter(pmod($"vec_id", lit(2)) === 0)
         .select(($"vec_id" + NearDupIdOffset).as("vec_id"),
-          transform($"v", (x, i) => x * element_at(mults, pmod(i, lit(4)) + 1))
-            .as("v")))
+          transform($"v", x => x * lit(2.0)).as("v")))
   }
 
   /** q_embedding_neardup — near-duplicate pairs by embedding cosine via
-    * multi-probe sign-LSH bucketing, verified with exact cosine ≥
-    * threshold, over [[nearDupDerived]]. The DuckDB twin is the BRUTE
-    * FORCE pair set at the same threshold — equality holds exactly when
-    * candidate recall is 1.0, which the Hamming-≤2 probe ring delivers on
-    * the planted pairs (θ ≈ 0.025 rad ⇒ per-bit agreement 0.992; the sbt
-    * suite asserts brute-equality at every SF rather than a recall floor).
+    * sign-LSH bucketing, verified with exact cosine ≥ threshold, over
+    * [[nearDupDerived]]. The DuckDB twin is the BRUTE FORCE pair set at
+    * the same threshold — equality holds exactly when candidate recall is
+    * 1.0, which the ×2-scaling plant GUARANTEES (bucket equality by IEEE
+    * exactness — see nearDupDerived; the sbt suite asserts brute-equality
+    * anyway).
     *
     * nBits ≤ 0 (the default) sizes the hash adaptively from the table count
     * so expected bucket occupancy stays ~[[AnnOps.targetBucketSize]]: a
     * fixed width would make candidate generation O(n²/2^bits) — quadratic
-    * again at 10^10 rows. At large widths the radius-2 probe ring is
-    * O(bits²) rows per vector — the standard multi-probe tradeoff against
-    * maintaining L independent tables (one table probed 1+b+b(b-1)/2 ways
-    * vs L shuffles of the full vector set; the ring only ships (id, probe)
-    * pairs, never the vectors). */
+    * again at 10^10 rows. (An earlier Hamming-≤2 probe-ring variant was
+    * measured at 23 s on sf0.1 — the ring at the 6-bit floor visits 22/64
+    * buckets, nearly brute force; bucket-equality planting deletes the
+    * ring and keeps the one equi-join shuffle.) */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       nBits: Int = 0, threshold: Double = 0.9,
-                       probeRadius: Int = 2): DataFrame = {
+                       nBits: Int = 0, threshold: Double = 0.9): DataFrame = {
     import spark.implicits._
     val derived = nearDupDerived(spark, dir)
     val bits = if (nBits > 0) nBits
@@ -191,17 +186,9 @@ object DedupOps {
     val emb = derived.as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v, Sigs.signBucketD(v, bits)) }
       .toDF("vec_id", "v", "bucket")
-    // probe ring: all buckets within Hamming ≤ probeRadius of a's bucket,
-    // WITHOUT the vector payload (id, probe only); b keeps one row per vec
-    val probes = emb.select($"vec_id", $"bucket")
-      .as[(Long, Long)]
-      .flatMap { case (id, bkt) =>
-        AnnOps.hammingBall(bkt, bits, probeRadius).map(p => (id, p)) }
-      .toDF("vec_id", "probe")
-    probes.as("a")
-      .join(emb.as("b"), $"a.probe" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .join(emb.select($"vec_id", $"v").as("av"), $"a.vec_id" === $"av.vec_id")
-      .withColumn("cos", round(AnnOps.cosine($"av.v", $"b.v"), 6))
+    emb.as("a").join(emb.as("b"), Seq("bucket"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", round(AnnOps.cosine($"a.v", $"b.v"), 6))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos")
   }
@@ -313,17 +300,14 @@ object DedupOps {
     "q_winnow_dedup" -> shingleJaccardSql(0.8, blocked = false),
     // brute-force cosine pair set over the SAME derived near-dup table
     // (original embeddings carry no pairs above cosine ≈0.51; the planted
-    // copies sit at ≈0.9997 — see nearDupDerived)
+    // ×2-scaled copies sit at exactly 1 — see nearDupDerived)
     "q_embedding_neardup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), derived AS (
         |  SELECT vec_id, v FROM base
         |  UNION ALL
-        |  SELECT vec_id + 10000000,
-        |    list_transform(generate_series(1, len(v)), i ->
-        |      v[i] * (CASE (i - 1) % 4 WHEN 0 THEN 1.03125 WHEN 1 THEN 0.96875
-        |              WHEN 2 THEN 1.015625 ELSE 0.984375 END))
+        |  SELECT vec_id + 10000000, list_transform(v, x -> x * 2)
         |  FROM base WHERE vec_id % 2 = 0
         |)
         |SELECT vec_a, vec_b, cos FROM (

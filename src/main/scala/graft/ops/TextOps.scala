@@ -43,11 +43,24 @@ object TextOps {
     size(regexp_extract_all(text,
       lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
 
+  private val allMarkers: Seq[String] = langMarkers.flatMap(_._2).distinct
+
   /** Adds lang_pred + marker_hits columns (argmax of marker-word hits,
-    * 'und' when all zero) — reused by [[langId]] and [[curation]]. */
+    * 'und' when all zero) — reused by [[langId]] and [[curation]].
+    *
+    * ONE combined-alternation regex pass extracts every marker occurrence;
+    * per-language counts are then codegen'd array filters over that match
+    * list. The `\b` anchors force whole-word matches, so the combined
+    * match set is exactly the union of the per-language ones and each
+    * count is preserved — 1 text scan instead of 5 (instead of 20 before
+    * round 3; the regex battery was q_curation's entire cost). */
   private def withLangPred(docs: DataFrame): DataFrame = {
-    val withHits = langMarkers.foldLeft(docs) { case (df, (lang, words)) =>
-      df.withColumn(s"hits_$lang", markerHits($"text", words))
+    val matchedWords = regexp_extract_all($"text",
+      lit(s"\\b(${allMarkers.mkString("|")})\\b"), lit(0))
+    val withHits = langMarkers.foldLeft(docs.withColumn("_mw", matchedWords)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"hits_$lang",
+          size(filter($"_mw", w => w.isInCollection(words))))
     }
     val best = langMarkers.map(_._1).foldLeft(
       (lit("und"), lit(0))) { case ((bestLang, bestHits), lang) =>
@@ -58,6 +71,7 @@ object TextOps {
     withHits
       .withColumn("lang_pred", best._1)
       .withColumn("marker_hits", best._2)
+      .drop("_mw")
       .drop(langMarkers.map(m => s"hits_${m._1}"): _*)
   }
 
@@ -218,8 +232,10 @@ object TextOps {
     "q_html_strip" -> (htmlStrip _))
 
   private val oracleLangId: String = {
+    val combined = s"'\\b(${allMarkers.mkString("|")})\\b'"
     val hits = langMarkers.map { case (lang, ws) =>
-      s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS hits_$lang"
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(regexp_extract_all(text, $combined), x -> x IN ($set))) AS hits_$lang"
     }.mkString(",\n    ")
     val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
       case ((bl, bh), lang) =>

@@ -63,12 +63,10 @@ class OpsSpec extends AnyFunSuite {
     // copies) brute-forced driver-side
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
-    val mults = DedupOps.NearDupMults
     val derived: Seq[(Long, Seq[Double])] =
       emb.toSeq.map { case (id, v) => (id, v.map(_.toDouble)) } ++
         emb.toSeq.collect { case (id, v) if id % 2 == 0 =>
-          (id + DedupOps.NearDupIdOffset,
-            v.zipWithIndex.map { case (x, i) => x.toDouble * mults(i % 4) }.toSeq)
+          (id + DedupOps.NearDupIdOffset, v.map(_.toDouble * 2.0).toSeq)
         }
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
@@ -82,8 +80,9 @@ class OpsSpec extends AnyFunSuite {
     val got = DedupOps.embeddingNearDup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "derivation must plant near-dup pairs")
-    // multi-probe (Hamming<=2) candidate recall must be total on the
-    // planted pairs — equality licenses the driver's brute-force twin
+    // candidate recall is GUARANTEED (×2 scaling is IEEE-exact, so the
+    // copy shares the original's sign-LSH bucket) — equality licenses the
+    // driver's brute-force twin
     assert(got == brute, s"missed: ${brute -- got}; extra: ${got -- brute}")
   }
 
