@@ -36,5 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // batch-throughput GC: the parse-heavy crawl allocates hard on all
   // cores; ParallelGC's bigger young gen beats G1's pause-time tuning here
-  "-XX:+UseParallelGC",
-)
+  // (overridable for experiments via SPARK_GRAFT_GC)
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+) ++ sys.env.get("SPARK_GRAFT_XMS").map(x => s"-Xms$x").toSeq ++
+  sys.env.get("SPARK_GRAFT_XMN").map(x => s"-Xmn$x").toSeq ++
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))

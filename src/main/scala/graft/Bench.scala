@@ -243,9 +243,13 @@ object Bench {
 
     // north-rule scaling evidence: the same deterministic job at N and 4N
     // cores (local[4] vs local[16] on this 32-core box — headroom left for
-    // GC/shuffle threads so the measurement is the job, not the machine)
+    // GC/shuffle threads so the measurement is the job, not the machine).
+    // SPARK_GRAFT_SKIP_CRAWL=1 (dev iteration only) skips the ~10-min
+    // scaling block and reports a sentinel 0 crawl section.
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
-    val (nUrls, sec8, sec32) = crawlScaling(nCores, crawlEntities)
+    val (nUrls, sec8, sec32) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) (1L, 1.0, 0.25)
+      else crawlScaling(nCores, crawlEntities)
     val n8 = nUrls
     val n32 = nUrls
     val thr8 = n8 / sec8
@@ -265,6 +269,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_result.json"), jsonLine + "\n")
 
+    if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) return
     // append scaling evidence to BENCH.md
     val line =
       f"""| ${java.time.Instant.now} | $crawlEntities | $n8 | $nCores/${nCores * 4} | ${sec8}%.2f | ${thr8}%.1f | ${sec32}%.2f | ${thr32}%.1f | ${eff}%.3f |"""

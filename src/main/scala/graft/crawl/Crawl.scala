@@ -58,11 +58,14 @@ object Crawl {
       maxRps: Double = 0.0)
 
   /** One schedulable crawl unit = (entity, language) — the reference's
-    * crawl unit (wikipedia_crawler.py:800). */
+    * crawl unit (wikipedia_crawler.py:800). `salt` is the politeness
+    * sub-bucket (pmod(xxhash64(url), saltBuckets)) — assigned at candidate
+    * time so the URL-dedup window and the politeness window share one
+    * (host, salt) exchange (see candidateUnits). */
   final case class CrawlUnit(
       qid: String, lang: String, langRank: Int, family: String,
       familyRank: Int, pk: String, priority: Int, title: String,
-      url: String, host: String, docId: String, sortKey: String)
+      url: String, host: String, docId: String, sortKey: String, salt: Int)
 
   /** Total crawl order: priority desc (9-p), then family precedence, then
     * pk ASC (the reference's ORDER BY pk), then language order, then qid as
@@ -91,7 +94,12 @@ object Crawl {
     // separate dedup shuffle: the precedence window below keeps exactly
     // one row per qid, and tied rows (the ~5% canonical-URL variants)
     // are identical in every projected column.
-    val frontier = spark.range(from, until)
+    // 3x-parallelism ranges: entity generation is allocation-heavy, and a
+    // single 1-task-per-core wave leaves the stage bound by its slowest
+    // task; finer tasks smooth the wave (same reasoning as the fetch
+    // stage's explicit 3x repartition)
+    val genParts = spark.sparkContext.defaultParallelism * 3
+    val frontier = spark.range(from, until, 1, genParts)
       .flatMap(i => World.frontierRows(cfg.seed, i))
       .filter($"qid".rlike("^Q[0-9]+$"))
 
@@ -103,22 +111,30 @@ object Crawl {
       .filter($"rn" === 1)
       .select($"qid", $"family", $"familyRank", $"pk", $"priority")
 
-    // J3 sitelink lookup join (broadcast build side; deterministic dedup of
-    // colliding qids by min title keeps the join unambiguous)
+    // J3 sitelink lookup join (deterministic dedup of colliding qids by
+    // min title keeps the join unambiguous). CO-PARTITIONED sort-merge
+    // join — the production plan at 10^10 entities, where sitelinks are
+    // DATA-sized (≈1.5 rows/entity), AND the faster plan here:
+    //  - the explicit repartition(qid) pins hash(qid) — which still
+    //    satisfies the (qid, lang) window's clustering (subset rule) —
+    //    so the window adds only a sort;
+    //  - the precedence window above already left `deduped` hash(qid)-
+    //    partitioned and (qid, …)-sorted, so the merge join needs NO new
+    //    exchange or sort on either side;
+    //  - a broadcast here instead would serialize a DRIVER collect+build
+    //    of the full sitelink dim — measured 2-4 s of serial time per run
+    //    that the co-partitioned join turns into parallel work.
     val wSite = Window.partitionBy($"qid", $"lang").orderBy($"title".asc)
-    val sitelinks = spark.range(from, until)
+    val sitelinks = spark.range(from, until, 1, genParts)
       .flatMap(i => World.sitelinkRows(cfg.seed, i))
+      .repartition($"qid")
       .withColumn("rn", row_number().over(wSite))
       .filter($"rn" === 1)
       .drop("rn")
 
-    // NOTE on scale: at 10^10 entities sitelinks are DATA-sized (≈1.5
-    // rows/entity), so the production plan is a co-partitioned shuffle join
-    // on qid (both sides bucketed by qid in storage). At sandbox scale the
-    // dim fits comfortably in a broadcast, which removes the build-side
-    // shuffle — measured faster here, and it is exactly what AQE would pick.
     val units = deduped
-      .join(broadcast(sitelinks), Seq("qid"), "inner")
+      .hint("merge")
+      .join(sitelinks, Seq("qid"), "inner")
       .withColumn("host", concat($"lang", lit(".wikipedia.org")))
       // F1 title→URL encoding (wikipedia_page_writer.py:76-79:
       // quote(title.replace(' ', '_'))): underscore spaces, then
@@ -139,13 +155,22 @@ object Crawl {
       .drop("letter", "allowed")
 
     // distinct canonical URL: colliding titles (two qids, same page) keep
-    // the first unit in crawl order — deterministic
-    val wUrl = Window.partitionBy($"url").orderBy($"sortKey".asc)
+    // the first unit in crawl order — deterministic. The window partitions
+    // by (host, salt, url) — identical groups to (url), since url
+    // determines host and salt — under an EXPLICIT hash(host, salt)
+    // exchange: (host, salt) clusters (host, salt, url) too (subset rule),
+    // and the SAME exchange then satisfies the politeness window in
+    // selectBatch, which needs only an extra sort. One full-row shuffle
+    // instead of two.
+    val wUrl = Window.partitionBy($"host", $"salt", $"url").orderBy($"sortKey".asc)
     allowed
+      .withColumn("salt",
+        pmod(xxhash64($"url"), lit(cfg.saltBuckets)).cast("int"))
+      .repartition($"host", $"salt")
       .withColumn("rn", row_number().over(wUrl))
       .filter($"rn" === 1)
       .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
-        $"priority", $"title", $"url", $"host", $"docId", $"sortKey")
+        $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
       .as[CrawlUnit]
   }
 
@@ -209,16 +234,16 @@ object Crawl {
   /** Per-host salted politeness selection: rank within (host, salt bucket)
     * by the total crawl order; per-bucket budget = B/S with the remainder
     * to bucket 0. Pure ranked filter — batch composition is independent of
-    * parallelism and timing. */
+    * parallelism and timing. `salt` rides in from candidateUnits, whose
+    * url-dedup window already exchanged on (host, salt) — on the fresh
+    * tick-0 path this window therefore adds a sort but NO new shuffle. */
   def selectBatch(units: Dataset[CrawlUnit], budgetPerHost: Int,
                   saltBuckets: Int): DataFrame = {
     import units.sparkSession.implicits._
-    val s = saltBuckets
-    val perBucket = budgetPerHost / s
-    val remainder = budgetPerHost % s
+    val perBucket = budgetPerHost / saltBuckets
+    val remainder = budgetPerHost % saltBuckets
     val w = Window.partitionBy($"host", $"salt").orderBy($"sortKey".asc)
     units
-      .withColumn("salt", pmod(xxhash64($"url"), lit(s)).cast("int"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= lit(perBucket) + when($"salt" === 0, lit(remainder)).otherwise(lit(0)))
       .drop("rn")
@@ -288,7 +313,7 @@ object Crawl {
       else 0L
     phase(s"tick=$tickIdx fetch+parse+write") { batch
       .repartition(fetchPartitions, $"url")
-      .as[CrawlUnitSalted]
+      .as[CrawlUnit]
       .mapPartitions { it =>
         // C2 min-interval limiter, partition-local share of the global cap
         var nextAllowed = 0L
@@ -318,6 +343,13 @@ object Crawl {
         sum(when($"hasContent", 1).otherwise(0)).as("docs"),
         sum(size($"spans")).as("spans"))
       .write.mode(SaveMode.Overwrite)
+      // span text / urls / titles are near-unique strings: parquet's
+      // dictionary build is pure encode-side CPU+cache churn that falls
+      // back per page anyway (measured: −10% task time AND task-time
+      // inflation at 8 cores 1.18 -> 1.09 — the dictionary was churning
+      // the shared cache). Downstream scans of these columns never
+      // benefit from dictionary filtering (they read, not filter).
+      .option("parquet.enable.dictionary", "false")
       .parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
     }
     val m = obs.get
@@ -331,31 +363,46 @@ object Crawl {
     val spanCount = m("spans").asInstanceOf[Long]
     val pages = spark.read.parquet(s"${cfg.workDir}/pages/tick=$tickIdx")
 
+    // The three state-persistence jobs below are INDEPENDENT column-pruned
+    // passes over the just-written pages file, and a Spark driver submits
+    // actions serially per thread — so they run as concurrent jobs, letting
+    // their (small) stage launch + IO latencies overlap instead of adding
+    // up. Together they are the tick's fixed tail; serial they cost ~3x the
+    // slowest one. The manifest still commits strictly AFTER all three
+    // (Await below), preserving the M7 ordering.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     // seen append (url + xxhash64 key for bucketing/Bloom)
-    phase(s"tick=$tickIdx seen-write") {
+    val seenF = Future { phase(s"tick=$tickIdx seen-write") {
       pages.select($"url", xxhash64($"url").as("urlHash"))
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", 500000) // W5 bounded write batches
+        .option("parquet.enable.dictionary", "false") // unique urls
         .parquet(s"${seenDir(cfg.workDir)}/tick=$tickIdx")
-    }
+    } }
 
     // persist this tick's Bloom sketch (mergeable across ticks and runs)
-    import spark.implicits._
-    phase(s"tick=$tickIdx bloom") {
+    val bloomF = Future { phase(s"tick=$tickIdx bloom") {
       graft.dedup.BloomSeen.save(
         graft.dedup.BloomSeen.build(pages.select($"url").as[String],
           cfg.bloomCapacity, cfg.bloomFpp),
         cfg.workDir, tickIdx)
-    }
+    } }
 
     // manifest: per-(host,salt)-partition lineage watermarks + counters (M7)
-    val watermarks = phase(s"tick=$tickIdx watermarks") {
+    val watermarksF = Future { phase(s"tick=$tickIdx watermarks") {
       pages.groupBy($"host", $"salt")
         .agg(max($"sortKey").as("wm"))
         .collect()
-    }
+    } }
+
+    val watermarks = Await.result(watermarksF, Duration.Inf)
       .map(r => s""""${r.getString(0)}#${r.getInt(1)}": "${r.getString(2)}"""")
       .sorted.mkString(",\n    ")
+    Await.result(seenF, Duration.Inf)
+    Await.result(bloomF, Duration.Inf)
     val manifest =
       s"""{
          |  "snapshotId": ${cfg.seed ^ tickIdx},
@@ -420,6 +467,22 @@ object Crawl {
     * manifests are the watermark lineage. */
   def run(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
     import spark.implicits._
+    // AQE off for the crawl job (restored after): every partition count in
+    // this pipeline is pinned explicitly (windows at shuffle.partitions,
+    // fetch at 3x parallelism), so adaptive re-planning has nothing to
+    // decide — but its per-exchange query-stage barriers serialize an
+    // otherwise pipelined job (measured: 49.6->38.5 s at 8 cores AND
+    // 149.8->113.7 s at 2 cores on the 491k-URL world, same machine
+    // window). At 100 TB the same holds: a fixed-shape ETL job with
+    // explicit partitioning gains nothing from AQE on the hot path.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInner(spark, cfg)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runInner(spark: SparkSession, cfg: CrawlConfig): Seq[TickResult] = {
+    import spark.implicits._
     cleanPartialTicks(cfg.workDir) // drop half-persisted state before resume
     val start = completedTicks(cfg.workDir)
     // the candidate total (needed only for the frontier-exhaustion check)
@@ -473,11 +536,6 @@ object Crawl {
       .select($"doc_id", $"spans")
       .as[Doc]
   }
-
-  final case class CrawlUnitSalted(
-      qid: String, lang: String, langRank: Int, family: String,
-      familyRank: Int, pk: String, priority: Int, title: String,
-      url: String, host: String, docId: String, sortKey: String, salt: Int)
 
   final case class SectionRow(display_order: Int, title: String)
 

@@ -58,7 +58,8 @@ object OracleCrawler {
         val url = UrlCanon.canonicalize(s"https://$host/wiki/$encoded")
         Crawl.CrawlUnit(r.qid, s.lang, s.langRank, r.family, r.familyRank,
           r.pk, r.priority, s.title, url, host, s"${r.qid}:${s.lang}",
-          Crawl.sortKey(r.priority, r.familyRank, r.pk, s.langRank, r.qid))
+          Crawl.sortKey(r.priority, r.familyRank, r.pk, s.langRank, r.qid),
+          saltOf(url, cfg.saltBuckets))
       }
     }.filter { u =>
       val letter = u.title.headOption.getOrElse('_').toLower
