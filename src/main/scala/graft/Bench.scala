@@ -92,43 +92,54 @@ object Bench {
 
   private case class Rep(sec: Double, clean: Boolean)
 
-  /** One timed crawl rep at `cpus`, bracketed by probes; session created
-    * and stopped per rep (one SparkContext per JVM and `master` is
-    * context-level, so interleaving parallelism levels REQUIRES per-rep
-    * contexts; JIT + Spark's JVM-global codegen cache persist across them,
-    * so the one-time warmups below still pay off). */
-  private def crawlRep(cpus: Int, nEntities: Long, warm: Boolean,
+  /** The JDK-17 module opens Spark needs when a session is created outside
+    * spark-submit (mirror of build.sbt / JavaModuleOptions). */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** One timed crawl rep at `cpus`, bracketed by probes — run in a FORKED
+    * JVM ([[CrawlRepMain]]) so that (1) `-XX:ActiveProcessorCount=cpus`
+    * sizes GC/JIT/common pools to the simulated node instead of the
+    * 32-core machine (an in-process local[2] rep got ~23 ParallelGC
+    * workers — free help a real 2-core executor does not have), and
+    * (2) each rep starts from a fresh heap: reps sharing one JVM were
+    * measured ~25% slower after earlier phases had grown and fragmented
+    * it, with the idle probe itself reading 3x slower. */
+  private def crawlRep(cpus: Int, nEntities: Long,
                        probeBase: Double): (Long, Rep) = {
-    val spark = newSession(cpus)
-    try {
-      // EVERY rep runs in a fresh SparkContext, whose first job pays
-      // scheduler/executor/broadcast init — a tiny warmup crawl absorbs
-      // that outside the timed window (first-round warmups are bigger, to
-      // JIT the whole pipeline)
-      val warmDir = benchTmp(s"graft-bench-w$cpus")
-      Crawl.run(spark, CrawlConfig(seed = 7L,
-        nEntities = if (warm) 4000L else 1000L,
-        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
-        workDir = warmDir))
-      deleteRec(new java.io.File(warmDir))
-      // min-of-2 per bracket: the probe's own run-to-run jitter (~20-30%)
-      // would otherwise mark quiet reps dirty
-      val p0 = math.min(probeMs(), probeMs())
-      val work = benchTmp(s"graft-bench-c$cpus")
-      val cfg = CrawlConfig(seed = 42L, nEntities = nEntities,
-        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3, workDir = work)
-      val t0 = System.nanoTime()
-      val res = Crawl.run(spark, cfg)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val urls = res.map(_.scheduled).sum
-      deleteRec(new java.io.File(work)) // keep tmpfs bounded across reps
-      val p1 = math.min(probeMs(), probeMs())
-      val clean = math.max(p0, p1) <= probeBase * 1.3
-      System.err.println(
-        f"[bench] cpus=$cpus rep=$sec%.1fs probes=$p0%.0f/$p1%.0fms " +
-          f"base=$probeBase%.0fms clean=$clean")
-      (urls, Rep(sec, clean))
-    } finally spark.stop()
+    val p0 = math.min(probeMs(), probeMs())
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd: Seq[String] = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx24g", "-XX:+UseParallelGC",
+      s"-XX:ActiveProcessorCount=$cpus",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      // every fork is cold — the same JIT warmup world each rep
+      "graft.CrawlRepMain", cpus.toString, nEntities.toString, "4000")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    val line = out.linesIterator.find(_.startsWith("CRAWLREP")).getOrElse(
+      sys.error(s"forked rep produced no CRAWLREP line:\n$out"))
+    val kv = line.split("\\s+").drop(1)
+      .map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val urls = kv("urls").toLong
+    val sec = kv("sec").toDouble
+    val p1 = math.min(probeMs(), probeMs())
+    val clean = math.max(p0, p1) <= probeBase * 1.3
+    System.err.println(
+      f"[bench] cpus=$cpus rep=$sec%.1fs probes=$p0%.0f/$p1%.0fms " +
+        f"base=$probeBase%.0fms clean=$clean")
+    (urls, Rep(sec, clean))
   }
 
   /** Interleaved N/4N scaling measurement. Per side: min over ALL reps;
@@ -166,8 +177,8 @@ object Bench {
       case a +: b +: _ => b / a <= 1.15
       case _           => false
     }
-    def rep(c: Int, warm: Boolean): Unit = {
-      val (u, r) = crawlRep(c, nEntities, warm, probeFloor)
+    def rep(c: Int): Unit = {
+      val (u, r) = crawlRep(c, nEntities, probeFloor)
       urls = u
       reps(c) += r
       probeHist += probeMs()
@@ -178,16 +189,16 @@ object Bench {
            (round < minRounds || !(sideConverged(c4) && sideConverged(nCores))) &&
            (round == 0 || elapsed < deadlineSec)) {
       // 4N first within each round: the short, noise-sensitive side gets
-      // the freshest window after the (quiet-making) session teardown
-      rep(c4, warm = round == 0)
-      rep(nCores, warm = round == 0)
+      // the freshest window
+      rep(c4)
+      rep(nCores)
       round += 1
     }
     // cheap toppers: if only the 4N side is unconverged, buy extra 4N reps
     var toppers = 0
     while (toppers < 3 && !sideConverged(c4) && sideConverged(nCores) &&
            elapsed < deadlineSec) {
-      rep(c4, warm = false)
+      rep(c4)
       toppers += 1
     }
     def report(c: Int): Double = {
@@ -224,6 +235,28 @@ object Bench {
     // amortize — 300k measured 0.72 efficiency, 500k is back at 0.82+
     val crawlEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "500000").toLong
 
+    // north-rule scaling evidence FIRST, in the fresh JVM: the same
+    // deterministic job at N and 4N cores. Running the sf0.1 query bench
+    // before it was measured to slow every later crawl rep ~25% (8-core
+    // side 34.5 -> 46 s with identical binaries) — the query phase leaves
+    // the shared JVM with a grown, fragmented heap and adapted-down GC
+    // sizing, and even the idle memory-streaming probe reads ~3x slower
+    // afterward (60 -> 186 ms). The scaling measurement owns the clean
+    // JVM; the query bench (not a scaling signal) absorbs the aftermath.
+    // SPARK_GRAFT_SKIP_CRAWL=1 (dev iteration only) skips the ~10-min
+    // scaling block and reports a sentinel 0 crawl section.
+    // N=1 vs 4N=4: the pair least distorted by the sandbox's shared
+    // memory bus (see BENCH.md — separate cluster nodes do not share a
+    // memory controller; locally the bus saturates between 4 and 8
+    // cores). The forked reps' ActiveProcessorCount makes the 1-core
+    // side an honest 1-core node (the round-2 objection to this pair —
+    // machine-wide GC/JIT threads helping the lone core — is exactly
+    // what the fork removes).
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
+    val (nUrls, sec8, sec32) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) (1L, 1.0, 0.25)
+      else crawlScaling(nCores, crawlEntities)
+
     val spark = newSession(cpus)
     // JIT/codegen warmup at the smallest SF: the first query of a fresh
     // session otherwise pays session+codegen setup (round 1: q1_agg 5.2s
@@ -240,16 +273,6 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
-
-    // north-rule scaling evidence: the same deterministic job at N and 4N
-    // cores (local[4] vs local[16] on this 32-core box — headroom left for
-    // GC/shuffle threads so the measurement is the job, not the machine).
-    // SPARK_GRAFT_SKIP_CRAWL=1 (dev iteration only) skips the ~10-min
-    // scaling block and reports a sentinel 0 crawl section.
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
-    val (nUrls, sec8, sec32) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) (1L, 1.0, 0.25)
-      else crawlScaling(nCores, crawlEntities)
     val n8 = nUrls
     val n32 = nUrls
     val thr8 = n8 / sec8

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+
+import graft.crawl.Crawl
+import graft.crawl.Crawl.CrawlConfig
+
+/** One forked crawl-bench rep (spawned by [[Bench]], one JVM per rep).
+  *
+  * Why a fork per rep instead of per-rep SparkSessions in one JVM:
+  *  1. JVM-global thread pools are sized from the MACHINE's 32 cores, so
+  *     an in-process local[2] rep got ~23 ParallelGC worker threads — free
+  *     help a real 2-core executor node does not have, which deflates the
+  *     measured N-vs-4N efficiency. `-XX:ActiveProcessorCount=N` in the
+  *     fork sizes GC/JIT/common pools to the node being simulated.
+  *  2. Reps in a shared JVM inherit its heap history: after the sf0.1
+  *     query bench ran first, every crawl rep measured ~25% slower with
+  *     identical binaries (grown fragmented heap + adapted-down GC
+  *     sizing; even the idle memory probe read 3x slower). A fresh JVM
+  *     per rep makes reps independent samples.
+  *
+  * args: cpus, nEntities, warmEntities. Prints one line:
+  * `CRAWLREP urls=<n> sec=<s>`.
+  */
+object CrawlRepMain {
+  private def benchTmp(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val nEntities = args(1).toLong
+    val warmEntities = args(2).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-crawlrep-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // JIT warmup: the fork is cold, so the whole pipeline runs once on a
+      // small world before the timed window
+      val warmDir = benchTmp(s"graft-rep-w$cpus")
+      Crawl.run(spark, CrawlConfig(seed = 7L, nEntities = warmEntities,
+        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 2,
+        workDir = warmDir))
+      deleteRec(new java.io.File(warmDir))
+
+      val work = benchTmp(s"graft-rep-c$cpus")
+      val cfg = CrawlConfig(seed = 42L, nEntities = nEntities,
+        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3,
+        workDir = work)
+      val t0 = System.nanoTime()
+      val res = Crawl.run(spark, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val urls = res.map(_.scheduled).sum
+      deleteRec(new java.io.File(work))
+      println(f"CRAWLREP urls=$urls sec=$sec%.3f")
+    } finally spark.stop()
+  }
+}

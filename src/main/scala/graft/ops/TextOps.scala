@@ -35,32 +35,33 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist"),
     "zh" -> Seq("de", "shi", "zhe", "he"))
 
-  /** Total marker-word hits as ONE alternation regex pass. Equal to the
-    * per-word sum (each match position matches exactly one distinct word),
-    * but 1 text scan instead of |words| — measured on q_curation, the
-    * per-word battery was the whole query's cost (25 regex passes/row). */
-  private def markerHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(text,
-      lit(s"\\b(${words.mkString("|")})\\b"), lit(0)))
+  /** The word-token array: ONE cheap char-class split instead of any
+    * word-boundary regex battery. Splitting on runs of non-word characters
+    * ([^A-Za-z0-9_], the complement of regex \w) yields a token "the"
+    * exactly where \bthe\b would match, so counting marker words by array
+    * membership is EQUAL to the regex-battery count — but the scan is one
+    * linear char-class pass, not a 20-branch alternation evaluated at
+    * every position (measured: the alternation regex was q_curation's
+    * dominant cost, and a 5-language × 4-word per-word battery before
+    * that was worse still). */
+  private def wordTokens(text: Column): Column =
+    split(text, "[^A-Za-z0-9_]+")
 
-  private val allMarkers: Seq[String] = langMarkers.flatMap(_._2).distinct
+  /** Marker hits = membership count over [[wordTokens]] (codegen'd array
+    * filter; equal to the \b-regex count — see wordTokens). */
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(wordTokens(text), w => w.isInCollection(words)))
 
   /** Adds lang_pred + marker_hits columns (argmax of marker-word hits,
-    * 'und' when all zero) — reused by [[langId]] and [[curation]].
-    *
-    * ONE combined-alternation regex pass extracts every marker occurrence;
-    * per-language counts are then codegen'd array filters over that match
-    * list. The `\b` anchors force whole-word matches, so the combined
-    * match set is exactly the union of the per-language ones and each
-    * count is preserved — 1 text scan instead of 5 (instead of 20 before
-    * round 3; the regex battery was q_curation's entire cost). */
+    * 'und' when all zero) — reused by [[langId]] and [[curation]]. One
+    * split pass builds the token array; per-language counts are array
+    * filters over it. */
   private def withLangPred(docs: DataFrame): DataFrame = {
-    val matchedWords = regexp_extract_all($"text",
-      lit(s"\\b(${allMarkers.mkString("|")})\\b"), lit(0))
-    val withHits = langMarkers.foldLeft(docs.withColumn("_mw", matchedWords)) {
+    val withHits = langMarkers.foldLeft(
+      docs.withColumn("_wt", wordTokens($"text"))) {
       case (df, (lang, words)) =>
         df.withColumn(s"hits_$lang",
-          size(filter($"_mw", w => w.isInCollection(words))))
+          size(filter($"_wt", w => w.isInCollection(words))))
     }
     val best = langMarkers.map(_._1).foldLeft(
       (lit("und"), lit(0))) { case ((bestLang, bestHits), lang) =>
@@ -71,7 +72,7 @@ object TextOps {
     withHits
       .withColumn("lang_pred", best._1)
       .withColumn("marker_hits", best._2)
-      .drop("_mw")
+      .drop("_wt")
       .drop(langMarkers.map(m => s"hits_${m._1}"): _*)
   }
 
@@ -85,7 +86,9 @@ object TextOps {
   private def withQuality(docs: DataFrame): DataFrame = {
     val nTokens = tokenCountCol($"text")
     val nChars = length($"text")
-    val punct = nChars - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))
+    // count, don't rebuild: regexp_count scans once; the previous
+    // regexp_replace allocated a full stripped copy of every document
+    val punct = regexp_count($"text", lit("[^a-zA-Z0-9\\s]"))
     val stop = markerHits($"text", Seq("the", "a", "of", "and", "le", "la"))
     docs
       .withColumn("n_tokens", nTokens)
@@ -232,10 +235,9 @@ object TextOps {
     "q_html_strip" -> (htmlStrip _))
 
   private val oracleLangId: String = {
-    val combined = s"'\\b(${allMarkers.mkString("|")})\\b'"
     val hits = langMarkers.map { case (lang, ws) =>
       val set = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(regexp_extract_all(text, $combined), x -> x IN ($set))) AS hits_$lang"
+      s"len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'), x -> x IN ($set))) AS hits_$lang"
     }.mkString(",\n    ")
     val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
       case ((bl, bh), lang) =>
@@ -259,8 +261,9 @@ object TextOps {
         |FROM (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
         |    CAST(length(text) AS DOUBLE) AS n_chars2,
-        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
-        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|le|la)\b')) AS DOUBLE) AS stop
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'),
+        |             x -> x IN ('the', 'a', 'of', 'and', 'le', 'la'))) AS DOUBLE) AS stop
         |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
