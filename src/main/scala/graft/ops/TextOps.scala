@@ -35,44 +35,42 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist"),
     "zh" -> Seq("de", "shi", "zhe", "he"))
 
-  /** The word-token array: ONE cheap char-class split instead of any
-    * word-boundary regex battery. Splitting on runs of non-word characters
-    * ([^A-Za-z0-9_], the complement of regex \w) yields a token "the"
-    * exactly where \bthe\b would match, so counting marker words by array
-    * membership is EQUAL to the regex-battery count — but the scan is one
-    * linear char-class pass, not a 20-branch alternation evaluated at
-    * every position (measured: the alternation regex was q_curation's
-    * dominant cost, and a 5-language × 4-word per-word battery before
-    * that was worse still). */
-  private def wordTokens(text: Column): Column =
-    split(text, "[^A-Za-z0-9_]+")
-
-  /** Marker hits = membership count over [[wordTokens]] (codegen'd array
-    * filter; equal to the \b-regex count — see wordTokens). */
+  /** Marker hits as one alternation-regex count per language.
+    *
+    * STAY INSIDE WHOLE-STAGE CODEGEN: an array-filter formulation
+    * (`filter(split(text, ...), w => w IN (...))`) reads nicer but
+    * higher-order functions fall back to INTERPRETED evaluation, which
+    * also forfeits codegen's common-subexpression elimination — and the
+    * optimizer's project-collapse + filter-pushdown inline these hit
+    * expressions many times over (q_curation references each one from
+    * the filter AND the projection). Measured: the HOF form took
+    * q_curation from ~3 s to ~9 s at sf0.1; the regex form is CSE'd back
+    * to one evaluation per site. */
   private def markerHits(text: Column, words: Seq[String]): Column =
-    size(filter(wordTokens(text), w => w.isInCollection(words)))
+    regexp_count(text, lit(s"\\b(${words.mkString("|")})\\b"))
 
   /** Adds lang_pred + marker_hits columns (argmax of marker-word hits,
-    * 'und' when all zero) — reused by [[langId]] and [[curation]]. One
-    * split pass builds the token array; per-language counts are array
-    * filters over it. */
+    * 'und' when all zero) — reused by [[langId]] and [[curation]].
+    *
+    * The argmax is array-based (array_max + array_position), NOT a
+    * when-chain fold: a fold referencing its accumulator twice per step
+    * doubles the inlined expression tree per language (2^5 copies once
+    * the optimizer collapses projections); the array form references
+    * each per-language count exactly once per site. */
   private def withLangPred(docs: DataFrame): DataFrame = {
-    val withHits = langMarkers.foldLeft(
-      docs.withColumn("_wt", wordTokens($"text"))) {
+    val withHits = langMarkers.foldLeft(docs) {
       case (df, (lang, words)) =>
-        df.withColumn(s"hits_$lang",
-          size(filter($"_wt", w => w.isInCollection(words))))
+        df.withColumn(s"hits_$lang", markerHits($"text", words))
     }
-    val best = langMarkers.map(_._1).foldLeft(
-      (lit("und"), lit(0))) { case ((bestLang, bestHits), lang) =>
-      val h = col(s"hits_$lang")
-      (when(h > bestHits, lit(lang)).otherwise(bestLang),
-        when(h > bestHits, h).otherwise(bestHits))
-    }
+    val hitArr = array(langMarkers.map(m => col(s"hits_${m._1}")): _*)
+    val langArr = array(langMarkers.map(m => lit(m._1)): _*)
+    val maxHits = array_max(hitArr)
     withHits
-      .withColumn("lang_pred", best._1)
-      .withColumn("marker_hits", best._2)
-      .drop("_wt")
+      .withColumn("lang_pred",
+        when(maxHits > 0,
+          element_at(langArr, array_position(hitArr, maxHits).cast("int")))
+          .otherwise(lit("und")))
+      .withColumn("marker_hits", maxHits)
       .drop(langMarkers.map(m => s"hits_${m._1}"): _*)
   }
 
@@ -236,8 +234,7 @@ object TextOps {
 
   private val oracleLangId: String = {
     val hits = langMarkers.map { case (lang, ws) =>
-      val set = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'), x -> x IN ($set))) AS hits_$lang"
+      s"len(regexp_extract_all(text, '\\b(${ws.mkString("|")})\\b')) AS hits_$lang"
     }.mkString(",\n    ")
     val bestExpr = langMarkers.map(_._1).foldLeft(("'und'", "0")) {
       case ((bl, bh), lang) =>
@@ -262,8 +259,7 @@ object TextOps {
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
         |    CAST(length(text) AS DOUBLE) AS n_chars2,
         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'),
-        |             x -> x IN ('the', 'a', 'of', 'and', 'le', 'la'))) AS DOUBLE) AS stop
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|le|la)\b')) AS DOUBLE) AS stop
         |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
