@@ -67,4 +67,39 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p.split("\n").filter(_.contains("(")).mkString).size >= 2)
     assert(p.contains("Exchange"), p)
   }
+
+  // ---- crawl candidate/batch plan shape (the round-3 scaling work) --------
+
+  private lazy val crawlBatchPlan: String = {
+    import graft.crawl.Crawl
+    val cfg = Crawl.CrawlConfig(seed = 42L, nEntities = 200L,
+      budgetPerHost = 64, saltBuckets = 4, maxTicks = 1, workDir = "")
+    // AQE off, as Crawl.run sets it for the crawl job — the assertions
+    // below are about the static plan
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Crawl.selectBatch(Crawl.candidateUnits(spark, cfg),
+      cfg.budgetPerHost, cfg.saltBuckets)
+      .queryExecution.explainString(FormattedMode)
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("sitelink join is a co-partitioned sort-merge join, not a broadcast") {
+    val p = crawlBatchPlan
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin Inner"),
+      s"sitelink lookup must not serialize a driver broadcast build:\n$p")
+  }
+
+  test("url-dedup and politeness windows share one (host, salt) exchange") {
+    val p = crawlBatchPlan
+    // exactly one hashpartitioning exchange carrying both host and salt:
+    // the url-dedup window's explicit repartition; the politeness window
+    // reuses it (subset rule) and adds only a sort
+    val hostSaltExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("host")
+        && l.contains("salt")).size
+    assert(hostSaltExchanges == 1,
+      s"expected ONE (host, salt) exchange shared by both windows, got $hostSaltExchanges:\n$p")
+  }
 }
