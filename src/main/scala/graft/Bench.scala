@@ -146,8 +146,12 @@ object Bench {
     * rounds continue past minRounds until each side's two fastest
     * COUNTABLE reps (not both dirty-and-slow) agree within 15%, up to
     * maxRounds plus cheap 4N-only toppers, bounded by a deadline. */
+  /** minRounds=2: the forked fresh-JVM reps are low-variance (both
+    * recorded full runs converged after round 2 with the same min as
+    * round 3 — 0.820 and 0.931); unconverged sides still buy more
+    * rounds up to maxRounds. */
   private def crawlScaling(nCores: Int, nEntities: Long,
-                           minRounds: Int = 3, maxRounds: Int = 5,
+                           minRounds: Int = 2, maxRounds: Int = 5,
                            deadlineSec: Double = 900.0):
       (Long, Double, Double) = {
     val c4 = nCores * 4
