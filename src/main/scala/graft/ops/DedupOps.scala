@@ -207,9 +207,16 @@ object DedupOps {
     * one k-gram shared by d docs emits d² candidate rows. maxDf must
     * exceed the largest true near-dup GROUP size (a group of g mutual
     * near-dups legitimately shares prints g ways); 32 is far above the
-    * test worlds' group sizes and far below boilerplate fan-out. */
+    * test worlds' group sizes and far below boilerplate fan-out.
+    *
+    * minShared defaults to 1 because that is all the winnowing theorem
+    * guarantees: a shared run of ≥ w+k-1 chars yields AT LEAST one shared
+    * print. minShared=2 was measured to drop 3 of 256 true pairs at
+    * sf0.1 (pairs whose overlap fingerprints to exactly one print) —
+    * raising it trades theorem-backed recall for candidate-noise
+    * reduction and must be a deliberate choice at scale. */
   def winnowPairs(spark: SparkSession, dir: String,
-                  k: Int = 24, w: Int = 16, minShared: Int = 2,
+                  k: Int = 24, w: Int = 16, minShared: Int = 1,
                   maxDf: Int = 32, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     // k = 24 chars (~4 vocab words): long enough that unrelated docs over
