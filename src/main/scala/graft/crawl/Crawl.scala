@@ -14,7 +14,8 @@ import graft.synth.World
   *
   *   frontier scan → Qid filter → canonicalize → precedence dedup (1 window
   *   shuffle, replacing the reference's 19 chained NOT-IN anti-joins) →
-  *   sitelink fan-out (broadcast join) → robots gate (broadcast join) →
+  *   sitelink fan-out (co-partitioned sort-merge join) → robots gate
+  *   (broadcast join) →
   *   URL-seen two-phase dedup (Bloom prefilter + exact anti-join: no false
   *   drops) → per-host salted politeness budget (ranked window selection) →
   *   fetch+parse (pure fn in mapPartitions) → doc/seen/manifest writes.
