@@ -117,7 +117,10 @@ object Bench {
     val p0 = math.min(probeMs(), probeMs())
     val java = System.getProperty("java.home") + "/bin/java"
     val cmd: Seq[String] = Seq(java) ++ addOpens ++ Seq(
-      "-Xmx24g", "-XX:+UseParallelGC",
+      // same knob build.sbt honors — a host with less RAM sizes the
+      // measurement JVMs down too instead of failing to fork
+      "-Xmx" + sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"),
+      "-XX:+UseParallelGC",
       s"-XX:ActiveProcessorCount=$cpus",
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
@@ -252,13 +255,15 @@ object Bench {
     // N=1 vs 4N=4: the pair least distorted by the sandbox's shared
     // memory bus (see BENCH.md — separate cluster nodes do not share a
     // memory controller; locally the bus saturates between 4 and 8
-    // cores). The forked reps' ActiveProcessorCount makes the 1-core
+    // cores; KNEE.json records the same knee in the no-Spark kernel).
+    // The forked reps' ActiveProcessorCount makes the 1-core
     // side an honest 1-core node (the round-2 objection to this pair —
     // machine-wide GC/JIT threads helping the lone core — is exactly
     // what the fork removes).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
+    val skipCrawl = sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")
     val (nUrls, sec8, sec32) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) (1L, 1.0, 0.25)
+      if (skipCrawl) (0L, 0.0, 0.0)
       else crawlScaling(nCores, crawlEntities)
 
     val spark = newSession(cpus)
@@ -277,29 +282,41 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
+    // Locale.ROOT everywhere a number lands in machine-parsed output: the
+    // f-interpolator formats with the DEFAULT locale, and a comma-decimal
+    // default would emit invalid JSON (sec_n":192,56) straight into the
+    // artifact the driver parses.
+    def num(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     val n8 = nUrls
     val n32 = nUrls
-    val thr8 = n8 / sec8
-    val thr32 = n32 / sec32
-    val eff = (thr32 / thr8) / 4.0
+    val thr8 = if (sec8 > 0) n8 / sec8 else 0.0
+    val thr32 = if (sec32 > 0) n32 / sec32 else 0.0
+    val eff = if (thr8 > 0) (thr32 / thr8) / 4.0 else 0.0
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // a skipped crawl section can NEVER read as a passing measurement:
+    // explicit skipped flag + zero efficiency (0.0 can't clear the 0.8 bar)
     val crawlJson =
-      f"""{"urls":$n8,"cores_n":$nCores,"cores_4n":${nCores * 4},"sec_n":$sec8%.2f,"urls_per_sec_n":$thr8%.1f,"sec_4n":$sec32%.2f,"urls_per_sec_4n":$thr32%.1f,"scaling_efficiency":$eff%.3f}"""
+      if (skipCrawl) """{"skipped":true,"urls":0,"scaling_efficiency":0.0}"""
+      else s"""{"urls":$n8,"cores_n":$nCores,"cores_4n":${nCores * 4},""" +
+        s""""sec_n":${num("%.2f", sec8)},"urls_per_sec_n":${num("%.1f", thr8)},""" +
+        s""""sec_4n":${num("%.2f", sec32)},"urls_per_sec_4n":${num("%.1f", thr32)},""" +
+        s""""scaling_efficiency":${num("%.3f", eff)}}"""
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}"""
+      s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}"""
     println(jsonLine)
     // ALSO write the line to a file: sbt prefixes stdout with "[info] ",
     // which broke the driver's JSON parse in round 1 (parsed: null)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_result.json"), jsonLine + "\n")
 
-    if (sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")) return
+    if (skipCrawl) return
     // append scaling evidence to BENCH.md
     val line =
-      f"""| ${java.time.Instant.now} | $crawlEntities | $n8 | $nCores/${nCores * 4} | ${sec8}%.2f | ${thr8}%.1f | ${sec32}%.2f | ${thr32}%.1f | ${eff}%.3f |"""
+      s"""| ${java.time.Instant.now} | $crawlEntities | $n8 | $nCores/${nCores * 4} | ${num("%.2f", sec8)} | ${num("%.1f", thr8)} | ${num("%.2f", sec32)} | ${num("%.1f", thr32)} | ${num("%.3f", eff)} |"""
     val benchMd = java.nio.file.Paths.get("BENCH.md")
     if (java.nio.file.Files.exists(benchMd))
       java.nio.file.Files.writeString(benchMd,

@@ -67,7 +67,10 @@ object CrawlRepMain {
       val sec = (System.nanoTime() - t0) / 1e9
       val urls = res.map(_.scheduled).sum
       deleteRec(new java.io.File(work))
-      println(f"CRAWLREP urls=$urls sec=$sec%.3f")
+      // Locale.ROOT: this line is parsed back by Bench.crawlRep — a
+      // comma-decimal default locale would print sec=12,345 and break it
+      println("CRAWLREP urls=" + urls + " sec=" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
     } finally spark.stop()
   }
 }

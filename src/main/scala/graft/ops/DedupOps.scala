@@ -39,6 +39,19 @@ object DedupOps {
   private def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
 
+  /** Detach a SMALL result frame from its cached lineage: collect and
+    * rebuild as a local relation, so the big upstream persist (signature
+    * tables) can be released immediately — returning the persisted frame
+    * itself leaked one cached DataFrame per invocation for the session
+    * lifetime (Bench runs warmup + timed in one JVM). Only for verified
+    * near-dup PAIR SETS, whose size is bounded by true near-dup density,
+    * not input size; a production run sinks pairs to storage instead of
+    * returning a frame at all. */
+  private def detachSmall(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Candidate pairs via MinHash LSH banding (b bands × r rows), verified
     * with exact shingle Jaccard ≥ threshold.
     *
@@ -69,15 +82,13 @@ object DedupOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    val out = cand
+    val out = detachSmall(cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .persist()
-    out.count() // materialize the (small) verified pairs …
-    sigs.unpersist() // … then free the big signature table
+      .select($"doc_a", $"doc_b", $"jaccard"))
+    sigs.unpersist() // free the big signature table
     out
   }
 
@@ -121,14 +132,28 @@ object DedupOps {
   }
 
   /** q_ngram_jaccard — exact n-gram Jaccard within a cheap blocking key
-    * (20-char prefix); this is the "verify" operator LSH feeds at scale. */
+    * (20-char prefix); this is the "verify" operator LSH feeds at scale.
+    *
+    * maxDf is the MOSS noise threshold, same as [[winnowPairs]]: a
+    * boilerplate prefix shared by d docs would self-join into d² candidate
+    * pairs, so blocks with df > maxDf are dropped from the index BEFORE
+    * the join (and blocks with df < 2 cannot form a pair). The df count
+    * runs as a cheap scan-only groupBy over substring(text,1,20) —
+    * deliberately NOT through the shingle kernel, which the typed map
+    * would recompute for a branch that only needs the prefix. */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
     import spark.implicits._
+    val keptBlks = t(spark, dir, "documents")
+      .groupBy(substring($"text", 1, 20).as("blk"))
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= maxDf)
+      .select($"blk")
     val docs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, tx) => (id, tx.take(20), Sigs.shingles(tx).sorted) }
       .toDF("doc_id", "blk", "sh")
+      .join(keptBlks, Seq("blk"), "left_semi")
     docs.as("a").join(docs.as("b"), Seq("blk"))
       .filter($"a.doc_id" < $"b.doc_id")
       .withColumn("jaccard", jaccard($"a.sh", $"b.sh"))
@@ -183,14 +208,20 @@ object DedupOps {
     val bits = if (nBits > 0) nBits
                else AnnOps.adaptiveNBits(
                  AnnOps.cachedCount(s"neardup:$dir")(derived.count()))
+    // persist: the O(bits·d) sign-bucket kernel feeds BOTH sides of the
+    // self-join — unpersisted it evaluated twice per row (the minhash
+    // sigs discipline; measured 1.92 s → ~1.3 s at sf0.1)
     val emb = derived.as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v, Sigs.signBucketD(v, bits)) }
       .toDF("vec_id", "v", "bucket")
-    emb.as("a").join(emb.as("b"), Seq("bucket"))
+      .persist()
+    val out = detachSmall(emb.as("a").join(emb.as("b"), Seq("bucket"))
       .filter($"a.vec_id" < $"b.vec_id")
       .withColumn("cos", round(AnnOps.cosine($"a.v", $"b.v"), 6))
       .filter($"cos" >= threshold)
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos"))
+    emb.unpersist()
+    out
   }
 
   /** q_winnow_dedup — near-dup pairs by winnowing fingerprints
@@ -244,14 +275,12 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .select($"doc_a", $"doc_b")
-    val out = cand
+    val out = detachSmall(cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .persist()
-    out.count()
+      .select($"doc_a", $"doc_b", $"jaccard"))
     sigs.unpersist()
     out
   }
@@ -271,10 +300,21 @@ object DedupOps {
     * `blocked = false` this is the BRUTE-FORCE pair set at the threshold:
     * the hard oracle for every candidate-generator query (minhash,
     * winnow), green exactly when candidate recall is 1.0. */
-  private def shingleJaccardSql(threshold: Double, blocked: Boolean): String = {
+  private def shingleJaccardSql(threshold: Double, blocked: Boolean,
+                                maxDf: Int = 32): String = {
     val joinCond =
       if (blocked) "a.blk = b.blk AND a.doc_id < b.doc_id"
       else "a.doc_id < b.doc_id"
+    // blocked twin mirrors ngramJaccard's df-cap: blocks outside [2, maxDf]
+    // are dropped before the self-join
+    val capCte =
+      if (blocked)
+        s""",
+           |kept AS (SELECT blk FROM d GROUP BY blk
+           |         HAVING count(*) BETWEEN 2 AND $maxDf),
+           |dk AS (SELECT d.* FROM d JOIN kept USING (blk))""".stripMargin
+      else ""
+    val rel = if (blocked) "dk" else "d"
     s"""WITH d AS (
        |  SELECT doc_id, substr(text, 1, 20) AS blk,
        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -282,12 +322,12 @@ object DedupOps {
        |                i -> array_to_string(w[i:i+2], ' '))) END AS sh
        |  FROM (SELECT doc_id, text,
        |          regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
-       |)
+       |)$capCte
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-       |  FROM d a JOIN d b ON $joinCond)
+       |  FROM $rel a JOIN $rel b ON $joinCond)
        |WHERE jaccard >= $threshold""".stripMargin
   }
 

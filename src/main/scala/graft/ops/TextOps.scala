@@ -114,8 +114,11 @@ object TextOps {
       tokenCountBpe($"text").as("n_bpe_segments"))
 
   /** q_fingerprint — 64-bit content fingerprint over whitespace-normalized
-    * text (xxhash64; the rolling-hash document signature). No SQL oracle —
-    * DuckDB's hash() is a different function (rows-only check). */
+    * text (xxhash64; the rolling-hash document signature). DuckDB lacks
+    * xxhash64, so the hard oracle row checks CLASS STRUCTURE instead: the
+    * exported fingerprint classes must coincide exactly with
+    * md5(normalized text) classes computed independently in SQL (see the
+    * q_fingerprint entry in [[oracle]]). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       $"doc_id",
@@ -283,6 +286,35 @@ object TextOps {
          |JOIN ($qualSub) q ON q.doc_id = d.doc_id
          |WHERE l.lang_pred <> 'und' AND q.quality >= 0.5""".stripMargin
     },
+    // q_fingerprint's hard row WITHOUT xxhash64 in SQL: the oracle
+    // re-emits the exported fingerprints ONLY IF their equality classes
+    // coincide exactly (both directions) with the classes of
+    // md5(whitespace-normalized text), which DuckDB computes
+    // independently from the raw documents. Class coincidence over n docs
+    // is O(n): with F = #distinct fingerprints, M = #distinct md5 keys,
+    // P = #distinct (fingerprint, md5) pairs, the partitions are equal
+    // iff F = P (fingerprint determines md5 class) and M = P (and vice
+    // versa) — a bijection between the two partitions. The guard also
+    // requires one exported row per document (inner join + count), so a
+    // wrong normalization, an xxhash64 collision, or a missing/duplicated
+    // row each poison the output → hash mismatch → red.
+    "q_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, fingerprint
+        |  FROM read_parquet('__EXPORT__/export_fingerprint/*.parquet')
+        |), j AS (
+        |  SELECT f.doc_id, f.fingerprint,
+        |    md5(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS nfp
+        |  FROM f JOIN documents d USING (doc_id)
+        |), chk AS (
+        |  SELECT count(DISTINCT fingerprint) = count(DISTINCT (fingerprint, nfp))
+        |     AND count(DISTINCT nfp) = count(DISTINCT (fingerprint, nfp))
+        |     AND count(*) = (SELECT count(*) FROM documents) AS ok
+        |  FROM j
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN (SELECT ok FROM chk) THEN fingerprint END AS fingerprint
+        |FROM f""".stripMargin,
     // the twin decodes the query's constant entities with chr():
     // &amp;→&, &#233;→é(233), &#x2014;→—(8212), &nbsp;→NBSP(160)
     "q_html_strip" ->

@@ -15,6 +15,11 @@ import graft.synth.World
   * token, which graft.Verify rewrites to the actual outDir. */
 object Exports {
 
+  // NOTE on the coalesce(1)s below: they are VERIFY-ONLY plumbing — one
+  // file per export keeps the DuckDB oracle's read_parquet glob simple at
+  // sf0.01 scale. This is NOT an engine pattern: engine code never
+  // single-partitions a result (see Crawl/MergeStore write paths, which
+  // stay partitioned and use maxRecordsPerFile for bounded files).
   def writeAll(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val work = CrawlQueries.sharedCrawl(spark)
     val pages = spark.read.parquet(s"$work/pages")
@@ -75,5 +80,14 @@ object Exports {
     graft.ops.AnnOps.lshBucketAssignments(spark, sfDir)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/export_lsh_buckets")
+
+    // fingerprint table: DuckDB lacks xxhash64, so the hard check is on
+    // the CLASS STRUCTURE — the q_fingerprint oracle asserts the
+    // fingerprint equality classes coincide (both directions) with
+    // md5(normalized text) classes it computes independently, which
+    // verifies the normalization AND collision-freedom at test scale
+    graft.ops.TextOps.fingerprint(spark, sfDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_fingerprint")
   }
 }

@@ -36,10 +36,19 @@ import graft.queries.Tables.t
 object Cleanup {
 
   /** Frequency threshold: an image "shared" by ≥ minShared distinct docs
-    * is decoration (the reference defaults to 25 at production scale; 10
-    * fits the 500-doc test worlds while keeping both planted pools — one
-    * above, one below — on the right sides). */
-  val minShared = 10
+    * is decoration (the reference defaults to 25 at production scale).
+    * Derived from the documents count so BOTH planted pools stay on the
+    * intended sides of the threshold at ANY SF — a fixed 10 was tuned to
+    * the 500-doc world and would silently invert the "sub-threshold
+    * shared must survive" guard once the dup pools (~n/219 docs each)
+    * crossed it (n ≳ 2200). shared pools are ~n/15 docs; ceil(n/60) sits
+    * between with ~4× margin on each side, floored at the 500-doc
+    * world's reference-like 10. Mirrored in SQL by [[minSharedSql]]. */
+  def minShared(nDocs: Long): Long = math.max(10L, (nDocs + 59) / 60)
+
+  /** The same threshold as a DuckDB scalar over the `documents` table. */
+  private val minSharedSql =
+    "greatest(10, (SELECT (count(*) + 59) // 60 FROM documents))"
 
   /** Deterministic seed generation over the documents table, planting
     * BOTH pools: `shared_N` images carried by ~33 docs each (over the
@@ -65,6 +74,7 @@ object Cleanup {
     synchronized {
       stores.getOrElseUpdate(dir, {
         val store = Files.createTempDirectory("graft-cleanup-q").toString
+        val threshold = minShared(t(spark, dir, "documents").count())
         MergeStore.ingest(seedGeneration(spark, dir), store)
         val merged = MergeStore.mergedView(spark, store,
           keys = Seq("doc_id"), stickyCols = Seq("main_img"))
@@ -74,7 +84,7 @@ object Cleanup {
           .filter($"main_img" =!= "")
           .groupBy($"main_img")
           .agg(countDistinct($"doc_id").as("n_entities"))
-          .filter($"n_entities" >= minShared)
+          .filter($"n_entities" >= threshold)
           .select($"main_img")
         // APPLY: one clearing generation — '' per affected key (the raw
         // UPDATE ... SET col = '' of the migration, as a generation so the
@@ -175,7 +185,7 @@ object Cleanup {
          |  FROM documents
          |), over_shared AS (
          |  SELECT main_img FROM g0 WHERE main_img <> ''
-         |  GROUP BY main_img HAVING count(DISTINCT doc_id) >= $minShared
+         |  GROUP BY main_img HAVING count(DISTINCT doc_id) >= $minSharedSql
          |)
          |SELECT g0.doc_id,
          |  CASE WHEN o.main_img IS NOT NULL THEN '' ELSE g0.main_img END

@@ -43,7 +43,7 @@ object StreamingCrawl {
     * pruned parquet scan + broadcast semi-join — NOT a recompute of the
     * frontier dedup windows, which at 10^10 entities would re-shuffle the
     * full world on every micro-batch. */
-  private def candidatesPath(cfg: CrawlConfig) = s"${cfg.workDir}/candidates"
+  private[graft] def candidatesPath(cfg: CrawlConfig) = s"${cfg.workDir}/candidates"
 
   private[graft] def ensureCandidates(spark: SparkSession,
                                       cfg: CrawlConfig): Unit = {

@@ -192,6 +192,33 @@ class OpsSpec extends AnyFunSuite {
       s"expected only the true near-dup pair, got $got")
   }
 
+  test("ngram blocking-key df cap prunes boilerplate prefixes") {
+    // 50 docs share one 20-char boilerplate prefix with unique tails — an
+    // uncapped prefix block self-joins into 50·49/2 candidate pairs; the
+    // df cap drops the block entirely (a boilerplate prefix is not
+    // near-dup evidence, the MOSS argument). A true near-dup pair in a
+    // small (df=2) block must still be found.
+    val boiler = "breaking news today " // exactly 20 chars
+    assert(boiler.length == 20)
+    val docs = (0 until 50).map { i =>
+      val unique = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$boiler$unique")
+    } ++ Seq(
+      (100L, "shared prefix pair x the quick brown fox jumps over the lazy dog again today"),
+      (101L, "shared prefix pair x the quick brown fox jumps over the lazy dog again tonight"))
+    val dir = java.nio.file.Files.createTempDirectory("ngram-cap").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = DedupOps.ngramJaccard(spark, dir, threshold = 0.5, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"expected only the small-block near-dup pair, got $got")
+    // sanity that the cap is what prevented the blowup: uncapped, the
+    // boilerplate block really does emit its quadratic candidate set
+    val uncapped = DedupOps.ngramJaccard(spark, dir, threshold = 0.0,
+      maxDf = 1000).count()
+    assert(uncapped >= 50L * 49 / 2)
+  }
+
   test("exact dedup groups partition the table") {
     val df = DedupOps.exactDedup(spark, sf0001)
     val total = df.agg(sum($"group_size")).head.getLong(0)
