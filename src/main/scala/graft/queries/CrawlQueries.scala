@@ -76,9 +76,54 @@ object CrawlQueries {
       .select(
         $"doc_id",
         size($"spans").cast("long").as("n_spans"),
-        md5(concat_ws("\u0002", transform($"spans", s =>
-          concat_ws("\u0001", s.getField("kind"), s.getField("text"),
-            s.getField("media_ref"), s.getField("offset"))))).as("spans_fp"))
+        spansFp.as("spans_fp"))
+
+  /** md5 fingerprint of the span array in array order — shared by
+    * [[crawlDocs]] and [[streamBatchParity]] (the DuckDB twin rebuilds it
+    * with string_agg over the flattened span export). */
+  private def spansFp: org.apache.spark.sql.Column =
+    md5(concat_ws("\u0002", transform($"spans", s =>
+      concat_ws("\u0001", s.getField("kind"), s.getField("text"),
+        s.getField("media_ref"), s.getField("offset")))))
+
+  /** Streaming ≡ batch under the driver signal (the reference's parity
+    * plan, doc/wikipedia-crawler-optimization.md:192-208: output equality
+    * under different execution strategies): a full streaming-driven crawl
+    * of the SHARED config — 12 seed drops each announcing the whole
+    * entity range, maxFilesPerTrigger=1 so every drop is its own
+    * micro-batch = its own scheduling tick — must produce EXACTLY the
+    * pages table the batch engine exported (same rows, same tick
+    * assignment, same span sequences). Works because scheduling is a pure
+    * ranked selection over deterministic state: micro-batch k sees the
+    * same seen-set as batch tick k, so it schedules the same batch. */
+  @volatile private var streamWork: Option[String] = None
+  def streamBatchParity(spark: SparkSession, dir: String): DataFrame = {
+    val work = synchronized {
+      streamWork.getOrElse {
+        val w = Files.createTempDirectory("graft-stream-parity").toString
+        val seeds = Files.createTempDirectory("graft-stream-seeds")
+        (0 until sharedCfg.maxTicks).foreach { i =>
+          java.nio.file.Files.writeString(
+            seeds.resolve(f"drop_$i%02d.txt"), s"0,${sharedCfg.nEntities}\n")
+        }
+        val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+        val q = graft.streaming.StreamingCrawl.start(spark,
+          sharedCfg.copy(workDir = w), seeds.toString, ckpt,
+          maxFilesPerTrigger = 1)
+        q.awaitTermination()
+        streamWork = Some(w)
+        w
+      }
+    }
+    spark.read.parquet(s"$work/pages")
+      .select($"doc_id", $"url", $"host", $"family",
+        $"httpStatus".as("http_status"), $"success",
+        $"hasContent".as("has_content"), $"mainImageUrl".as("main_image_url"),
+        size($"spans").as("n_spans"), $"tick",
+        // content docs carry the full span-sequence fingerprint; the twin
+        // left-joins it from the span export (non-content docs → NULL)
+        when($"hasContent", spansFp).as("spans_fp"))
+  }
 
   /** Gallery view with IS_MAIN_IMAGE flag + thumbnail derivation (J4/F7). */
   def crawlImages(spark: SparkSession, dir: String): DataFrame =
@@ -176,6 +221,7 @@ object CrawlQueries {
     "q_crawl_sections" -> (crawlSections _),
     "q_crawl_image_freq" -> (crawlImageFreq _),
     "q_refresh_one" -> (refreshOne _),
+    "q_stream_batch_parity" -> (streamBatchParity _),
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
     "q_merge_creation_sticky" -> (mergeCreationSticky _))
@@ -249,6 +295,25 @@ object CrawlQueries {
         |JOIN (SELECT doc_id
         |      FROM read_parquet('__EXPORT__/export_crawl_frontier/*.parquet')
         |      ORDER BY sort_key LIMIT 4) f USING (doc_id)""".stripMargin,
+    // streaming ≡ batch: the streaming-driven crawl's pages (Spark side)
+    // must equal the BATCH engine's exported pages row-for-row, including
+    // tick assignment and the per-doc span-sequence fingerprint (rebuilt
+    // here from the flattened span export; non-content docs have no spans
+    // rows → NULL, matching the query's hasContent guard)
+    "q_stream_batch_parity" ->
+      """SELECT p.doc_id, p.url, p.host, p.family, p.http_status, p.success,
+        |  p.has_content, p.main_image_url, CAST(p.n_spans AS INT) AS n_spans,
+        |  p.tick, fp.spans_fp
+        |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet') p
+        |LEFT JOIN (
+        |  SELECT doc_id,
+        |    md5(string_agg(kind || chr(1) || text || chr(1) || media_ref
+        |          || chr(1) || "offset", chr(2)
+        |        ORDER BY CASE kind WHEN 'section' THEN 0 ELSE 1 END, "offset"))
+        |      AS spans_fp
+        |  FROM read_parquet('__EXPORT__/export_crawl_spans/*.parquet')
+        |  GROUP BY doc_id
+        |) fp USING (doc_id)""".stripMargin,
     "q_writeback_dim" -> {
       val fams = World.familiesWithImages.toSeq.sorted
         .map(f => s"'$f'").mkString(", ")

@@ -23,11 +23,20 @@ object StreamingCrawl {
 
   /** Start the streaming crawl over a seed directory; AvailableNow
     * processes everything present and stops (the test/backfill trigger —
-    * a production deployment uses a processing-time trigger). */
+    * a production deployment uses a processing-time trigger).
+    * maxFilesPerTrigger > 0 caps seed files per micro-batch (AvailableNow
+    * honors it): 1 makes each seed drop its own micro-batch = its own
+    * scheduling tick, which is how the batch-parity query reproduces the
+    * batch engine's tick sequence exactly. */
   def start(spark: SparkSession, cfg: CrawlConfig, seedDir: String,
-            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .format("text")
+            checkpointDir: String, maxFilesPerTrigger: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("text")
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    limited
       .load(seedDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -36,6 +45,7 @@ object StreamingCrawl {
         runMicroBatch(spark, cfg, batch, batchId)
       }
       .start()
+  }
 
   /** The persisted global candidate set: a pure function of
     * (seed, nEntities), so it is computed ONCE per crawl state dir and
