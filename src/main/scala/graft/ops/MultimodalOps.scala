@@ -85,14 +85,23 @@ object MultimodalOps {
     * files; decode cost tracks byte count, which the scan already balances).
     * The features array is emitted as JSON (a scalar) so downstream
     * row-oriented consumers — including the driver's pandas compare — can
-    * sort/hash it; the array form is one from_json away. */
+    * sort/hash it; the array form is one from_json away. Elements are
+    * formatted fixed-point %.6f (format_string is Locale.US) rather than
+    * Jackson's shortest-roundtrip floats: fixed precision is the ONLY
+    * float↔text form two engines render identically (the DuckDB twin
+    * emits the same string; ties are impossible — a float32 is a dyadic
+    * rational, which can never terminate with digit 5 exactly at the
+    * rounding position — so half-up vs half-even never diverges). */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions(_.map(stubDecode))
       .toDF()
       .select($"media_id", $"kind", $"width", $"height", $"channels",
-        $"n_frames", to_json($"features").as("features_json"))
+        $"n_frames",
+        concat(lit("["),
+          array_join(transform($"features", f => format_string("%.6f", f)), ","),
+          lit("]")).as("features_json"))
   }
 
   /** q_media_resize_plan — the resize stage as metadata math (real resize
@@ -130,12 +139,94 @@ object MultimodalOps {
     "q_media_resize_plan" -> (resizePlan _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)))
 
+  // ---- q_media_decode twin: the stub codec re-expressed in SQL ------------
+  //
+  // The stub's features are a byte-fold + World.mix (splitmix64) — fully
+  // SQL-expressible once wrapping 64-bit arithmetic is emulated. Values
+  // live as signed BIGINT (so DuckDB's xor() is native); the wrapping
+  // add/multiply convert to HUGEINT-unsigned and back, and the constant
+  // multiplicands are split 32/32 so no intermediate exceeds 2^65 (a full
+  // 64×64 product would overflow HUGEINT). Each splitmix step is its own
+  // CTE — referencing the previous step by column name instead of
+  // inlining keeps the expression linear, not 2^steps.
+
+  private val Mask64 = (BigInt(1) << 64) - 1
+  private val U64 = (BigInt(1) << 64).toString
+
+  private def toU(x: String) =
+    s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN $U64 ELSE 0 END)"
+  private def toS(u: String) =
+    s"CAST(($u) - CASE WHEN ($u) >= 9223372036854775808 THEN $U64 ELSE 0 END AS BIGINT)"
+  private def lsr(x: String, n: Int) = toS(s"${toU(x)} // ${BigInt(2).pow(n)}")
+  private def addc(x: String, c: Long) =
+    toS(s"(${toU(x)} + ${BigInt(c) & Mask64}) % $U64")
+  private def mulc(x: String, c: Long): String = {
+    val cu = BigInt(c) & Mask64
+    val ch = cu >> 32
+    val cl = cu & 0xFFFFFFFFL
+    val u = toU(x)
+    val hi = s"((($u // 4294967296) * $cl + ($u % 4294967296) * $ch) % 4294967296)"
+    toS(s"(($hi * 4294967296 + ($u % 4294967296) * $cl) % $U64)")
+  }
+
+  /** One splitmix64 finalizer (World.mix64) as a 4-CTE chain over a
+    * column `x`, keyed (media_id, i); returns (cte text, last cte name). */
+  private def mix64Ctes(prefix: String, from: String): (String, String) = {
+    val Seq(a, b, c, d) = Seq("a", "b", "c", "d").map(prefix + _)
+    val text =
+      s"""$a AS (SELECT media_id, i, ${addc("x", 0x9E3779B97F4A7C15L)} AS x FROM $from),
+         |$b AS (SELECT media_id, i, ${mulc(s"xor(x, ${lsr("x", 30)})", 0xBF58476D1CE4E5B9L)} AS x FROM $a),
+         |$c AS (SELECT media_id, i, ${mulc(s"xor(x, ${lsr("x", 27)})", 0x94D049BB133111EBL)} AS x FROM $b),
+         |$d AS (SELECT media_id, i, xor(x, ${lsr("x", 31)}) AS x FROM $c)""".stripMargin
+    (text, d)
+  }
+
+  /** The full q_media_decode twin: byte-fold accumulators from the
+    * exported payload (bytes re-encoded as INT[] — verify-only plumbing,
+    * see [[exportMediaBytes]]), World.mix(acc, i) = mix64(mix64(MixInit ^
+    * acc) ^ i), then the same %.6f fixed-point JSON the query emits.
+    * 0x6A09E667F3BCC909 (MixInit) = 7640891576956012809. */
+  private def mediaDecodeSql: String = {
+    val (m1, m1out) = mix64Ctes("m1", "t0")
+    val (m2, m2out) = mix64Ctes("m2", "t5")
+    s"""WITH pb AS (
+       |  SELECT media_id, b
+       |  FROM read_parquet('__EXPORT__/export_media_bytes/*.parquet')
+       |), acc AS (
+       |  SELECT media_id, CAST(ii.i AS BIGINT) AS i,
+       |    CAST(list_sum(list_transform(range(1, len(b) + 1),
+       |      j -> CASE WHEN (j - 1) % 16 = ii.i THEN b[j] ELSE 0 END)) AS BIGINT) AS acc
+       |  FROM pb CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ii
+       |), t0 AS (SELECT media_id, i, xor(7640891576956012809, acc) AS x FROM acc),
+       |$m1,
+       |t5 AS (SELECT media_id, i, xor(x, i) AS x FROM $m1out),
+       |$m2,
+       |feat AS (
+       |  SELECT media_id,
+       |    '[' || string_agg(format('{:.6f}',
+       |        CAST(x % 1000 AS FLOAT) / CAST(1000.0 AS FLOAT)), ',' ORDER BY i)
+       |    || ']' AS features_json
+       |  FROM $m2out GROUP BY media_id
+       |)
+       |SELECT m.media_id, m.kind, m.width, m.height,
+       |  CASE WHEN m.kind = 'audio' THEN 2 ELSE 3 END AS channels,
+       |  CAST(CASE WHEN m.kind = 'image' THEN 1
+       |            WHEN m.kind = 'audio' THEN m.duration_ms // 20
+       |            ELSE m.duration_ms * 24 // 1000 END AS INT) AS n_frames,
+       |  f.features_json
+       |FROM read_parquet('__EXPORT__/export_media_meta/*.parquet') m
+       |JOIN feat f USING (media_id)""".stripMargin
+  }
+
   // graft.Verify exports the media table's metadata (everything except the
   // binary payload) as parquet into the verify outDir and rewrites
   // __EXPORT__ to that path, so DuckDB can independently recompute the
-  // resize math and the frame-sampling sequence. q_media_decode stays
-  // rows-only: its features come from the stub codec, which has no SQL twin.
+  // resize math and the frame-sampling sequence. q_media_decode's twin
+  // additionally recomputes the stub features end-to-end from the
+  // exported payload bytes (mediaDecodeSql above), closing the last
+  // rows-only entry.
   val oracle: Map[String, String] = Map(
+    "q_media_decode" -> mediaDecodeSql,
     "q_media_resize_plan" ->
       """SELECT media_id, width, height,
         |  CAST(round(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
@@ -159,5 +250,17 @@ object MultimodalOps {
     mediaTable(spark, dir).toDF()
       .select($"media_id", $"doc_id", $"kind", $"width", $"height",
         $"duration_ms")
+  }
+
+  /** The payload bytes re-encoded as INT[0,255] arrays — verify-only
+    * plumbing so the q_media_decode twin can byte-fold in SQL (DuckDB's
+    * BLOB element access has no clean list form). The engine never ships
+    * payloads this way; it is the oracle's independent view of the same
+    * binary column. */
+  def exportMediaBytes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .map(r => (r.media_id, r.bytes.map(b => b & 0xFF)))
+      .toDF("media_id", "b")
   }
 }

@@ -68,6 +68,10 @@ object Exports {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/export_media_meta")
 
+    MultimodalOps.exportMediaBytes(spark, sfDir)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/export_media_bytes")
+
     // signature tables for the dedup/ANN oracles: DuckDB independently
     // recomputes everything DOWNSTREAM of the kernel (banding recall,
     // all-pairs Hamming, probe ring + ranking); the kernels themselves are
