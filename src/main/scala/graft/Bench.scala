@@ -94,7 +94,7 @@ object Bench {
 
   /** The JDK-17 module opens Spark needs when a session is created outside
     * spark-submit (mirror of build.sbt / JavaModuleOptions). */
-  private val addOpens = Seq(
+  private[graft] val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",

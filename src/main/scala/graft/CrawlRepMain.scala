@@ -37,6 +37,27 @@ object CrawlRepMain {
     f.delete()
   }
 
+  /** Per-stage task-time totals for the TIMED window (GRAFT_STAGE_STATS=1;
+    * used by [[KneeMain]]): registered after warmup, sums executorRunTime
+    * by stage. Task-time is the scaling-attribution signal — the same
+    * deterministic work at N cores taking more total task-ms than at 1
+    * core is per-core slowdown (memory-bus contention), not scheduling. */
+  private final class StageStats extends org.apache.spark.scheduler.SparkListener {
+    val taskMs = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val tasks = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val names = scala.collection.concurrent.TrieMap.empty[Int, String]
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskMetrics != null) {
+        taskMs.updateWith(te.stageId)(v =>
+          Some(v.getOrElse(0L) + te.taskMetrics.executorRunTime))
+        tasks.updateWith(te.stageId)(v => Some(v.getOrElse(0) + 1))
+      }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      names.put(sc.stageInfo.stageId, sc.stageInfo.name.takeWhile(_ != '\n'))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val nEntities = args(1).toLong
@@ -58,6 +79,13 @@ object CrawlRepMain {
         workDir = warmDir))
       deleteRec(new java.io.File(warmDir))
 
+      val stats =
+        if (sys.env.contains("GRAFT_STAGE_STATS")) {
+          val s = new StageStats
+          spark.sparkContext.addSparkListener(s)
+          Some(s)
+        } else None
+
       val work = benchTmp(s"graft-rep-c$cpus")
       val cfg = CrawlConfig(seed = 42L, nEntities = nEntities,
         budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3,
@@ -71,6 +99,16 @@ object CrawlRepMain {
       // comma-decimal default locale would print sec=12,345 and break it
       println("CRAWLREP urls=" + urls + " sec=" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
+      stats.foreach { s =>
+        // listener bus is async: give it a moment to drain the tail of
+        // task-end events before reading the totals
+        Thread.sleep(2000)
+        val entries = s.taskMs.toSeq.sortBy(-_._2).map { case (id, ms) =>
+          val name = s.names.getOrElse(id, "?").replace("\"", "'")
+          s"""{"stage":$id,"name":"$name","taskMs":$ms,"tasks":${s.tasks.getOrElse(id, 0)}}"""
+        }
+        println("CRAWLSTAGES [" + entries.mkString(",") + "]")
+      }
     } finally spark.stop()
   }
 }

@@ -34,6 +34,9 @@ object RawBench {
       ts.foreach(_.start()); ts.foreach(_.join())
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"threads=$threads: ${units.length} units in $sec%.2f s = ${units.length / sec}%.0f u/s (spans=${spanCount.get})")
+      // machine-parseable (Locale.ROOT) — consumed by KneeMain forks
+      println("RAWBENCH threads=" + threads + " sec=" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
       sec
     }
     val plan = sys.env.getOrElse("THREADS", "8,32,8,32,1")

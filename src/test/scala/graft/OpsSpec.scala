@@ -219,6 +219,20 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped >= 50L * 49 / 2)
   }
 
+  test("pair operators release their signature caches (no persist leak)") {
+    // the verified pair set detaches from its cached lineage, so each
+    // invocation must leave the session's persistent-RDD set unchanged —
+    // Bench runs warmup + timed sets in one JVM and a leak per invocation
+    // accumulates for the session lifetime
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    DedupOps.minhashPairs(spark, sf0001).count()
+    DedupOps.winnowPairs(spark, sf0001).count()
+    DedupOps.embeddingNearDup(spark, sf0001).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.subsetOf(before),
+      s"leaked cached RDDs: ${after -- before}")
+  }
+
   test("exact dedup groups partition the table") {
     val df = DedupOps.exactDedup(spark, sf0001)
     val total = df.agg(sum($"group_size")).head.getLong(0)
