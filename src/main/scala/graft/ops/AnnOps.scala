@@ -27,6 +27,14 @@ object AnnOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the per-vector norms HOISTED to row level: the HOF
+    * norm is O(d) and `cosine` recomputes BOTH norms per scored PAIR —
+    * hoisting them into the (much smaller) per-row frames is
+    * bit-identical (same fold, same multiply order: norm(a)·norm(b)) and
+    * cuts the per-pair kernel to one dot product. */
+  def cosineHoisted(a: Column, b: Column, an: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
   // Sign-LSH bucketing lives in Sigs.signBucket (typed one-pass kernel).
 
   /** Expected rows per sign-LSH bucket when the hash is adaptively sized. */
@@ -77,10 +85,12 @@ object AnnOps {
   def bruteTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 8, k: Int = 10): DataFrame = {
     val emb = t(spark, dir, "embeddings").select($"vec_id", $"embedding")
+      .withColumn("bn", norm($"embedding"))
     val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"bn".as("qn"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("cos", round(cosine($"qv", $"embedding"), 6))
+      .withColumn("cos",
+        round(cosineHoisted($"qv", $"embedding", $"qn", $"bn"), 6))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
     scored
@@ -103,15 +113,19 @@ object AnnOps {
     val emb = base.as[(Long, Seq[Float])]
       .map { case (id, v) => (id, v, Sigs.signBucket(v, bits)) }
       .toDF("vec_id", "embedding", "bucket")
+      .withColumn("bn", norm($"embedding"))
     val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id", $"embedding", $"bucket")
       .as[(Long, Seq[Float], Long)]
       // multi-probe: own bucket + all Hamming-1 neighbor buckets
       .flatMap { case (id, v, bkt) =>
         hammingBall(bkt, bits, 1).map(p => (id, v, p)) }
       .toDF("query_id", "qv", "bucket")
+      .withColumn("qn", norm($"qv"))
     val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", round(cosine($"qv", $"embedding"), 6))
+      .withColumn("cos",
+        round(cosineHoisted($"qv", $"embedding", $"qn", $"bn"), 6))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
     scored
@@ -200,6 +214,7 @@ object AnnOps {
         val cs = bc.value
         it.map { case (id, v) => (id, v, nearestLists(cs, v, 1).head._1) }
       }.toDF("vec_id", "embedding", "list_id")
+      .withColumn("bn", norm($"embedding"))
 
     val probes = base.filter($"vec_id" < nQueries).as[(Long, Seq[Float])]
       .mapPartitions { it =>
@@ -207,12 +222,14 @@ object AnnOps {
         it.flatMap { case (id, v) =>
           nearestLists(cs, v, nProbe).map { case (cid, _) => (id, v, cid) } }
       }.toDF("query_id", "qv", "list_id")
+      .withColumn("qn", norm($"qv"))
 
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"vec_id".asc)
     assigned.join(broadcast(probes), Seq("list_id"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", round(cosine($"qv", $"embedding"), 6))
+      .withColumn("cos",
+        round(cosineHoisted($"qv", $"embedding", $"qn", $"bn"), 6))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id", $"cos")

@@ -62,6 +62,19 @@ object DedupOps {
   def minhashPairs(spark: SparkSession, dir: String,
                    b: Int = 16, r: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
+    val (sigs, planned) = minhashPairsPlanned(spark, dir, b, r, threshold)
+    val out = detachSmall(planned)
+    sigs.unpersist() // free the big signature table
+    out
+  }
+
+  /** The un-detached (sigs, pair-plan) pair — [[minhashPairs]] body,
+    * exposed so PlanSpec can assert the verify joins read the persisted
+    * signature table (the detached public result is a local relation and
+    * no longer carries that plan). Caller must unpersist the sigs. */
+  private[graft] def minhashPairsPlanned(
+      spark: SparkSession, dir: String, b: Int, r: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     // ONE shingle+signature pass per doc, persisted: band generation and
     // BOTH sides of the verify join reuse it. (Previously the shingle set
@@ -82,14 +95,13 @@ object DedupOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    val out = detachSmall(cand
+    val out = cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard"))
-    sigs.unpersist() // free the big signature table
-    out
+      .select($"doc_a", $"doc_b", $"jaccard")
+    (sigs, out)
   }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -210,14 +222,19 @@ object DedupOps {
                  AnnOps.cachedCount(s"neardup:$dir")(derived.count()))
     // persist: the O(bits·d) sign-bucket kernel feeds BOTH sides of the
     // self-join — unpersisted it evaluated twice per row (the minhash
-    // sigs discipline; measured 1.92 s → ~1.3 s at sf0.1)
+    // sigs discipline). Norms are hoisted per ROW for the same reason:
+    // cosine() recomputes two O(d) HOF norms per candidate PAIR, and at
+    // target bucket occupancy B the pair set is ~n·B/2 — the verify
+    // kernel, not the bucketing, dominates this operator.
     val emb = derived.as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v, Sigs.signBucketD(v, bits)) }
       .toDF("vec_id", "v", "bucket")
+      .withColumn("nrm", AnnOps.norm($"v"))
       .persist()
     val out = detachSmall(emb.as("a").join(emb.as("b"), Seq("bucket"))
       .filter($"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", round(AnnOps.cosine($"a.v", $"b.v"), 6))
+      .withColumn("cos",
+        round(AnnOps.cosineHoisted($"a.v", $"b.v", $"a.nrm", $"b.nrm"), 6))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos"))
     emb.unpersist()

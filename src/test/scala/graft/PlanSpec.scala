@@ -49,11 +49,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash verify joins reuse the persisted signature table") {
-    val p = plan("q_minhash_dedup")
     // the shingle+signature pass is computed once and cached; banding and
-    // both verify sides read the InMemoryRelation, not the raw scan
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"signature table must be persisted:\n$p")
+    // both verify sides read the InMemoryRelation, not the raw scan.
+    // Asserted on the PRE-detach plan: the public result is deliberately
+    // a detached local relation (caches released — see the OpsSpec
+    // no-persist-leak test), so the join plan is inspected via the
+    // package-private hook.
+    val (sigs, planned) = graft.ops.DedupOps.minhashPairsPlanned(
+      SparkTestSession.spark, SparkTestSession.sf0001, 16, 4, 0.8)
+    try {
+      val p = planned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"signature table must be persisted:\n$p")
+    } finally sigs.unpersist()
+    // and the public result IS detached: a local relation with no lineage
+    val pub = plan("q_minhash_dedup")
+    assert(pub.contains("LocalTableScan"), s"expected detached result:\n$pub")
   }
 
   test("precedence dedup pushes the rank limit below the shuffle") {
