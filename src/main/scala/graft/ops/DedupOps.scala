@@ -36,8 +36,19 @@ object DedupOps {
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("group_size"))
       .filter($"group_size" > 1)
 
-  private def jaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+  /** Exact Jaccard over DISTINCT-element shingle arrays: |∩| is computed
+    * once per candidate pair and |∪| derived by the set identity
+    * |a|+|b|−|∩| (exact in integers — Sigs.shingles is .distinct), which
+    * drops the O(|a|+|b|) array_union hash-set build per pair. The
+    * intersect lands in its own projection step so it is evaluated once
+    * (CollapseProject keeps a non-cheap alias that is referenced twice).
+    * Numerically identical to intersect/union: same numerator, same
+    * denominator value, same round — the DuckDB twins keep computing the
+    * union explicitly and still hash-match. */
+  private def withJaccard(df: DataFrame, a: Column, b: Column): DataFrame =
+    df.withColumn("__inter", size(array_intersect(a, b)).cast("double"))
+      .withColumn("jaccard", round($"__inter" / (size(a) + size(b) - $"__inter"), 6))
+      .drop("__inter")
 
   /** Detach a SMALL result frame from its cached lineage: collect and
     * rebuild as a local relation, so the big upstream persist (signature
@@ -95,10 +106,10 @@ object DedupOps {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    val out = cand
+    val out = withJaccard(cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b")),
+      $"sh_a", $"sh_b")
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
     (sigs, out)
@@ -166,9 +177,8 @@ object DedupOps {
       .map { case (id, tx) => (id, tx.take(20), Sigs.shingles(tx).sorted) }
       .toDF("doc_id", "blk", "sh")
       .join(keptBlks, Seq("blk"), "left_semi")
-    docs.as("a").join(docs.as("b"), Seq("blk"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .withColumn("jaccard", jaccard($"a.sh", $"b.sh"))
+    withJaccard(docs.as("a").join(docs.as("b"), Seq("blk"))
+      .filter($"a.doc_id" < $"b.doc_id"), $"a.sh", $"b.sh")
       .filter($"jaccard" >= threshold)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
   }
@@ -292,10 +302,10 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .select($"doc_a", $"doc_b")
-    val out = detachSmall(cand
+    val out = detachSmall(withJaccard(cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b")),
+      $"sh_a", $"sh_b")
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard"))
     sigs.unpersist()
