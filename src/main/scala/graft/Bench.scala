@@ -180,9 +180,19 @@ object Bench {
         all.filter(r => r.clean || r.sec <= 1.3 * m).map(_.sec)
       }
     }
-    def sideConverged(c: Int): Boolean = countable(c).sorted match {
-      case a +: b +: _ => b / a <= 1.15
-      case _           => false
+    // the 4N side converges at a TIGHTER 10%: its reps are cheap (~60 s
+    // vs ~200 s) and it is the noise-sensitive side — a 10-15% spread
+    // there is exactly the case where one more sample moves the min
+    // (observed: 69.9/62.6 passed the old 15% gate and stopped; a third
+    // rep in the same window would likely have found the ~56 s quiet
+    // value). The N side keeps 15%: its reps are long, expensive, and
+    // proportionally stabler.
+    def sideConverged(c: Int): Boolean = {
+      val tol = if (c == nCores) 1.15 else 1.10
+      countable(c).sorted match {
+        case a +: b +: _ => b / a <= tol
+        case _           => false
+      }
     }
     def rep(c: Int): Unit = {
       val (u, r) = crawlRep(c, nEntities, probeFloor)
