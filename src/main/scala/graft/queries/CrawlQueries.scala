@@ -171,6 +171,25 @@ object CrawlQueries {
     graft.store.Writeback.dimView(spark, dims)
   }
 
+  /** M7/A5 under the driver signal: the per-tick manifest counters
+    * (observe()-collected during the write job, committed last by atomic
+    * rename) must equal what is ACTUALLY in the persisted pages table —
+    * the DuckDB twin recomputes scheduled/fetchedOk/parsedDocs/spans per
+    * tick from the page export. Equality proves the checkpoint protocol
+    * records exactly what it persisted (a manifest that lied about its
+    * tick would desynchronize resume). The manifests are line-parsed
+    * JSON; only tick + counters are projected (watermarks have dynamic
+    * keys — covered by the tick-composition equality of q_crawl_tick). */
+  def manifestCounters(spark: SparkSession, dir: String): DataFrame = {
+    val work = sharedCrawl(spark)
+    spark.read.option("multiLine", true).json(s"$work/manifests")
+      .select($"tick".cast("int").as("tick"),
+        $"counters.scheduled".cast("long").as("scheduled"),
+        $"counters.fetchedOk".cast("long").as("fetched_ok"),
+        $"counters.parsedDocs".cast("long").as("parsed_docs"),
+        $"counters.spans".cast("long").as("spans"))
+  }
+
   // ---- MergeStore under the hard signal (S9/S10/M1/M4) ---------------------
 
   /** Deterministic ingest generations derived from the documents table so
@@ -221,6 +240,7 @@ object CrawlQueries {
     "q_crawl_sections" -> (crawlSections _),
     "q_crawl_image_freq" -> (crawlImageFreq _),
     "q_refresh_one" -> (refreshOne _),
+    "q_manifest_counters" -> (manifestCounters _),
     "q_stream_batch_parity" -> (streamBatchParity _),
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
@@ -295,6 +315,15 @@ object CrawlQueries {
         |JOIN (SELECT doc_id
         |      FROM read_parquet('__EXPORT__/export_crawl_frontier/*.parquet')
         |      ORDER BY sort_key LIMIT 4) f USING (doc_id)""".stripMargin,
+    // M7/A5: manifest counters recomputed from the persisted pages — the
+    // checkpoint protocol must record exactly what it persisted
+    "q_manifest_counters" ->
+      """SELECT tick, count(*) AS scheduled,
+        |  CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS fetched_ok,
+        |  CAST(sum(CASE WHEN has_content THEN 1 ELSE 0 END) AS BIGINT) AS parsed_docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS spans
+        |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+        |GROUP BY tick""".stripMargin,
     // streaming ≡ batch: the streaming-driven crawl's pages (Spark side)
     // must equal the BATCH engine's exported pages row-for-row, including
     // tick assignment and the per-doc span-sequence fingerprint (rebuilt
