@@ -99,8 +99,13 @@ object KneeMain {
     if (secs.isEmpty) sys.error(s"no $tag line:\n$out")
     secs.min
   }
+  /** Kernel units default 100k (~25 s single-threaded): the 40k first cut
+    * gave a ~1.1-1.5 s 8-thread measurement — short enough that one
+    * scheduling hiccup flips the series (observed bimodal across runs).
+    * GRAFT_KNEE_RAW_N overrides. */
   private def rawRep(cpus: Int): Double =
-    noSparkRep(cpus, "graft.RawBench", "RAWBENCH", Map("N" -> "40000"))
+    noSparkRep(cpus, "graft.RawBench", "RAWBENCH",
+      Map("N" -> sys.env.getOrElse("GRAFT_KNEE_RAW_N", "100000")))
   private def memRep(cpus: Int): Double =
     noSparkRep(cpus, "graft.MemBench", "MEMBENCH", Map.empty)
 
@@ -172,7 +177,7 @@ object KneeMain {
          |    "coordination_residual_vs_${base}core": ${series(coord)}
          |  },
          |  "rawbench_compute_no_spark": {
-         |    "units": 40000,
+         |    "units": ${sys.env.getOrElse("GRAFT_KNEE_RAW_N", "100000")},
          |    "wall_sec": ${series(rawSec(_))},
          |    "cpu_time_inflation_vs_${base}core": ${series(c => rawSec(c) * c / (rawSec(base) * base))}
          |  },
