@@ -49,14 +49,27 @@ object Crawl {
       maxTicks: Int,
       workDir: String,
       // fixed Bloom sizing: every per-tick filter must share one capacity
-      // so persisted filters stay mergeable across ticks AND runs
-      bloomCapacity: Long = 1L << 20,
+      // so persisted filters stay mergeable across ticks AND runs.
+      // 0 (default) derives it from the world: max(2^20, 2.5 × nEntities)
+      // — a fixed 2^20 silently over-saturated at >1M-URL worlds (a 1.6M
+      // world degrades a 2^20/0.01 filter to a far worse fpp; correctness
+      // is unaffected — the exact anti-join confirms — but the prefilter
+      // stops pruning). Derived from cfg, the capacity is still one fixed
+      // value per crawl state dir, so cross-tick/cross-run mergeability
+      // holds; at 10^10 URLs this is the sharded-Bloom sizing seam
+      // (SCALE.md §2).
+      bloomCapacity: Long = 0L,
       bloomFpp: Double = 0.01,
       // C2 — global request-rate cap (reference wikipedia_http.py:45-50,
       // 96-122: min-interval limiter, 0 disables). In distributed mode the
       // global budget divides across fetch partitions (SURVEY.md §2.9 C2);
       // synthetic benches leave it 0 — there is no remote to be polite to.
-      maxRps: Double = 0.0)
+      maxRps: Double = 0.0) {
+    /** The Bloom capacity actually used: explicit, or world-derived. */
+    def effectiveBloomCapacity: Long =
+      if (bloomCapacity > 0) bloomCapacity
+      else math.max(1L << 20, nEntities * 5 / 2)
+  }
 
   /** One schedulable crawl unit = (entity, language) — the reference's
     * crawl unit (wikipedia_crawler.py:800). `salt` is the politeness
@@ -219,7 +232,7 @@ object Crawl {
     val seen = readSeen(spark, cfg.workDir).select($"url")
     val bloom: BloomFilter = graft.dedup.BloomSeen.loadMerged(cfg.workDir)
       .getOrElse(graft.dedup.BloomSeen.build(
-        seen.as[String], cfg.bloomCapacity, cfg.bloomFpp))
+        seen.as[String], cfg.effectiveBloomCapacity, cfg.bloomFpp))
     val bc = spark.sparkContext.broadcast(bloom)
     // probe the broadcast filter as a COLUMN (one udf over url, codegen'd
     // scan) rather than two typed filters that would each deserialize the
@@ -388,7 +401,7 @@ object Crawl {
     val bloomF = Future { phase(s"tick=$tickIdx bloom") {
       graft.dedup.BloomSeen.save(
         graft.dedup.BloomSeen.build(pages.select($"url").as[String],
-          cfg.bloomCapacity, cfg.bloomFpp),
+          cfg.effectiveBloomCapacity, cfg.bloomFpp),
         cfg.workDir, tickIdx)
     } }
 
