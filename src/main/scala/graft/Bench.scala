@@ -8,14 +8,16 @@ import graft.crawl.Crawl.CrawlConfig
 
 /** Benchmark main. Prints ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "crawl":{"urls_n8":..,"urls_per_sec_n8":..,"urls_per_sec_n32":..,
+  *    "crawl":{"urls":..,"cores_n":N,"cores_4n":4N,"sec_n":..,
+  *             "urls_per_sec_n":..,"sec_4n":..,"urls_per_sec_4n":..,
   *             "scaling_efficiency":..}}
   *
   * The crawl block is the north-rule scaling evidence: the SAME crawl job
-  * (identical seed, budget, input) at local[8] and local[32]; efficiency =
-  * (thr32/thr8)/4. Batch composition is deterministic (pure ranked
-  * selection), so both runs do identical work — only wall-clock differs.
-  * Also appends the measurement to repo BENCH.md.
+  * (identical seed, budget, input) forked at N and 4N cores (default 1v4,
+  * SPARK_GRAFT_BENCH_N); efficiency = (thr_4N/thr_N)/4. Batch composition
+  * is deterministic (pure ranked selection), so both runs do identical
+  * work — only wall-clock differs. Also appends the measurement to repo
+  * BENCH.md.
   */
 object Bench {
 
@@ -272,7 +274,7 @@ object Bench {
     // what the fork removes).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val skipCrawl = sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")
-    val (nUrls, sec8, sec32) =
+    val (nUrls, secN, sec4N) =
       if (skipCrawl) (0L, 0.0, 0.0)
       else crawlScaling(nCores, crawlEntities)
 
@@ -298,11 +300,9 @@ object Bench {
     // artifact the driver parses.
     def num(pat: String, v: Double): String =
       String.format(java.util.Locale.ROOT, pat, Double.box(v))
-    val n8 = nUrls
-    val n32 = nUrls
-    val thr8 = if (sec8 > 0) n8 / sec8 else 0.0
-    val thr32 = if (sec32 > 0) n32 / sec32 else 0.0
-    val eff = if (thr8 > 0) (thr32 / thr8) / 4.0 else 0.0
+    val thrN = if (secN > 0) nUrls / secN else 0.0
+    val thr4N = if (sec4N > 0) nUrls / sec4N else 0.0
+    val eff = if (thrN > 0) (thr4N / thrN) / 4.0 else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
@@ -311,9 +311,9 @@ object Bench {
     // explicit skipped flag + zero efficiency (0.0 can't clear the 0.8 bar)
     val crawlJson =
       if (skipCrawl) """{"skipped":true,"urls":0,"scaling_efficiency":0.0}"""
-      else s"""{"urls":$n8,"cores_n":$nCores,"cores_4n":${nCores * 4},""" +
-        s""""sec_n":${num("%.2f", sec8)},"urls_per_sec_n":${num("%.1f", thr8)},""" +
-        s""""sec_4n":${num("%.2f", sec32)},"urls_per_sec_4n":${num("%.1f", thr32)},""" +
+      else s"""{"urls":$nUrls,"cores_n":$nCores,"cores_4n":${nCores * 4},""" +
+        s""""sec_n":${num("%.2f", secN)},"urls_per_sec_n":${num("%.1f", thrN)},""" +
+        s""""sec_4n":${num("%.2f", sec4N)},"urls_per_sec_4n":${num("%.1f", thr4N)},""" +
         s""""scaling_efficiency":${num("%.3f", eff)}}"""
     val jsonLine =
       s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}"""
@@ -326,7 +326,7 @@ object Bench {
     if (skipCrawl) return
     // append scaling evidence to BENCH.md
     val line =
-      s"""| ${java.time.Instant.now} | $crawlEntities | $n8 | $nCores/${nCores * 4} | ${num("%.2f", sec8)} | ${num("%.1f", thr8)} | ${num("%.2f", sec32)} | ${num("%.1f", thr32)} | ${num("%.3f", eff)} |"""
+      s"""| ${java.time.Instant.now} | $crawlEntities | $nUrls | $nCores/${nCores * 4} | ${num("%.2f", secN)} | ${num("%.1f", thrN)} | ${num("%.2f", sec4N)} | ${num("%.1f", thr4N)} | ${num("%.3f", eff)} |"""
     val benchMd = java.nio.file.Paths.get("BENCH.md")
     if (java.nio.file.Files.exists(benchMd))
       java.nio.file.Files.writeString(benchMd,

@@ -131,16 +131,21 @@ object DedupOps {
   def simhashDedup(spark: SparkSession, dir: String,
                    maxDist: Int = 3): DataFrame = {
     import spark.implicits._
+    // persist: the O(text) simhash kernel feeds BOTH sides of the
+    // band self-join — same discipline as minhashPairs' sigs
     val banded = simhashSigs(spark, dir)
       .flatMap { case (id, sim) =>
         Sigs.simhashBands(sim).map(bk => (id, sim, bk)) }
       .toDF("doc_id", "sim", "bandKey")
-    banded.as("a").join(banded.as("b"), Seq("bandKey"))
+      .persist()
+    val out = detachSmall(banded.as("a").join(banded.as("b"), Seq("bandKey"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         bit_count($"a.sim".bitwiseXOR($"b.sim")).as("dist"))
       .distinct()
-      .filter($"dist" <= maxDist)
+      .filter($"dist" <= maxDist))
+    banded.unpersist()
+    out
   }
 
   /** The per-doc SimHash signatures — shared by [[simhashDedup]] and the
@@ -172,15 +177,22 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= maxDf)
       .select($"blk")
+    // persist: the shingle kernel feeds BOTH sides of the block self-join
+    // (the minhash sigs discipline); the semi-join already pruned the
+    // frame to kept blocks, so the cache holds only joinable rows
     val docs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, tx) => (id, tx.take(20), Sigs.shingles(tx).sorted) }
       .toDF("doc_id", "blk", "sh")
       .join(keptBlks, Seq("blk"), "left_semi")
-    withJaccard(docs.as("a").join(docs.as("b"), Seq("blk"))
-      .filter($"a.doc_id" < $"b.doc_id"), $"a.sh", $"b.sh")
-      .filter($"jaccard" >= threshold)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
+      .persist()
+    val out = detachSmall(
+      withJaccard(docs.as("a").join(docs.as("b"), Seq("blk"))
+        .filter($"a.doc_id" < $"b.doc_id"), $"a.sh", $"b.sh")
+        .filter($"jaccard" >= threshold)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard"))
+    docs.unpersist()
+    out
   }
 
   /** Planted-copy id offset for [[embeddingNearDup]] (kept far above any
