@@ -1,10 +1,6 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
-
-import graft.crawl.Crawl
-import graft.crawl.Crawl.CrawlConfig
 
 /** Benchmark main. Prints ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -32,17 +28,6 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
-  }
-
-  /** tmpfs when available: the measurement targets compute+shuffle
-    * throughput, not this sandbox's virtio disk (whose latency noise
-    * dominated whole-run timings). */
-  private def benchTmp(prefix: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    Files.createTempDirectory(base, prefix).toString
   }
 
   // ---- crawl-scaling measurement: INTERLEAVED reps + contention probe ----
@@ -227,11 +212,6 @@ object Bench {
       best
     }
     (urls, report(nCores), report(c4))
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
   }
 
   // headline queries (the ones whose plans carry the engine's operators;
