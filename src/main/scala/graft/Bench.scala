@@ -64,7 +64,7 @@ object Bench {
     a
   }
   @volatile private var probeSink = 0L
-  private def probeMs(): Double = {
+  private[graft] def probeMs(): Double = {
     val t0 = System.nanoTime()
     var s = 0L
     var pass = 0
@@ -78,6 +78,38 @@ object Bench {
   }
 
   private case class Rep(sec: Double, clean: Boolean)
+
+  /** Everything the scaling measurement KNOWS, so the emitted artifact can
+    * defend (or indict) its own number. Round 4's lesson: a contended
+    * window collapsed sampling to one rep per side and the JSON was
+    * indistinguishable from a converged measurement — the evidence
+    * (per-rep times, probe readings, whether the convergence gates ever
+    * engaged) lived only on stderr. */
+  private case class Scaling(
+      urls: Long, secN: Double, sec4N: Double,
+      repsN: Seq[Rep], reps4N: Seq[Rep],
+      probeFloorMs: Double, probeMaxMs: Double, converged: Boolean)
+
+  /** Machine-state probe in a FRESH forked JVM (so heap history cannot
+    * skew it — in-process probe times drift 3× after large Spark heaps
+    * have churned): min-of-3 of the same 256 MB streaming kernel. Taken
+    * once before the crawl block and once after the query phase, it
+    * brackets the whole run in the artifact: pre≈post≈idle says the run
+    * was quiet; a large pre with a quiet post is exactly the round-4
+    * incident (contention confined to the crawl window) made
+    * machine-diagnosable. */
+  private def forkedProbeMs(): Double = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cmd = Seq(java, "-Xmx2g", "-XX:+UseParallelGC",
+      "-cp", System.getProperty("java.class.path"), "graft.BenchProbeMain")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    out.linesIterator.find(_.startsWith("BENCHPROBE"))
+      .map(_.split("ms=")(1).trim.toDouble).getOrElse(-1.0)
+  }
 
   /** The JDK-17 module opens Spark needs when a session is created outside
     * spark-submit (mirror of build.sbt / JavaModuleOptions). */
@@ -135,15 +167,27 @@ object Bench {
   /** Interleaved N/4N scaling measurement. Per side: min over ALL reps;
     * rounds continue past minRounds until each side's two fastest
     * COUNTABLE reps (not both dirty-and-slow) agree within 15%, up to
-    * maxRounds plus cheap 4N-only toppers, bounded by a deadline. */
+    * maxRounds plus cheap 4N-only toppers, bounded by a deadline.
+    *
+    * Deadline semantics (round-4 fix): the deadline exists to bound a
+    * HEALTHY run, not to truncate a contended one. minRounds rounds run
+    * UNCONDITIONALLY — min-of-reps needs two samples per side before the
+    * number means anything — and when the normal deadline expires with
+    * either side short of its convergence quota, sampling RE-ENTERS (only
+    * the unconverged sides) up to an extended deadline. If the quota is
+    * still unmet there, the artifact says so: `converged:false` in the
+    * emitted JSON, so a contended window can never read as an engine
+    * number. (Round 4: one 525 s + one 354 s rep ate the whole 900 s
+    * budget, every gate silently degraded to min-of-one, and the emitted
+    * 0.371 was indistinguishable from a real measurement.) */
   /** minRounds=2: the forked fresh-JVM reps are low-variance (both
     * recorded full runs converged after round 2 with the same min as
     * round 3 — 0.820 and 0.931); unconverged sides still buy more
     * rounds up to maxRounds. */
   private def crawlScaling(nCores: Int, nEntities: Long,
                            minRounds: Int = 2, maxRounds: Int = 5,
-                           deadlineSec: Double = 900.0):
-      (Long, Double, Double) = {
+                           deadlineSec: Double = 900.0,
+                           extendedDeadlineSec: Double = 2400.0): Scaling = {
     val c4 = nCores * 4
     // probe history: rolling floor over the last `probeWindow` samples —
     // seeded here (post-JIT), refreshed after every rep
@@ -188,10 +232,10 @@ object Bench {
       probeHist += probeMs()
       probeHist += probeMs()
     }
+    def done: Boolean = sideConverged(c4) && sideConverged(nCores)
     var round = 0
-    while (round < maxRounds &&
-           (round < minRounds || !(sideConverged(c4) && sideConverged(nCores))) &&
-           (round == 0 || elapsed < deadlineSec)) {
+    while (round < minRounds ||
+           (round < maxRounds && !done && elapsed < deadlineSec)) {
       // 4N first within each round: the short, noise-sensitive side gets
       // the freshest window
       rep(c4)
@@ -205,13 +249,24 @@ object Bench {
       rep(c4)
       toppers += 1
     }
+    // re-entry under contention: the normal deadline truncated sampling
+    // below the convergence quota — keep buying reps for whichever side
+    // is short, up to the extended deadline
+    var extra = 0
+    while (!done && extra < maxRounds && elapsed < extendedDeadlineSec) {
+      if (!sideConverged(c4)) rep(c4)
+      if (!sideConverged(nCores)) rep(nCores)
+      extra += 1
+    }
     def report(c: Int): Double = {
       val best = reps(c).map(_.sec).min
       System.err.println(
         f"[bench] cpus=$c reps=${reps(c).map(r => f"${r.sec}%.1f${if (r.clean) "" else "*"}").mkString(",")} -> $best%.2fs (*=dirty)")
       best
     }
-    (urls, report(nCores), report(c4))
+    Scaling(urls, report(nCores), report(c4),
+      reps(nCores).toSeq, reps(c4).toSeq,
+      probeHist.min, probeHist.max, done)
   }
 
   // headline queries (the ones whose plans carry the engine's operators;
@@ -225,6 +280,31 @@ object Bench {
     "q_ann_ivf", "q_lang_id", "q_quality_score", "q_fingerprint",
     "q_html_strip", "q_curation", "q_media_decode", "q_frame_sample",
     "q_merge_latest")
+
+  /** The recorded knee attribution (KNEE.json, written by [[KneeMain]])
+    * promoted into the driver-parsed artifact: the 1v4 pair choice carries
+    * its justification — at 8 local cores the same tasks inflate ~1.39×
+    * AND the no-Spark kernel inflates ~1.41× (the shared memory subsystem,
+    * which separate cluster nodes do not share), while the engine's own
+    * coordination residual stays ~1.06. Empty string when KNEE.json is
+    * absent or the fields don't parse — never a fabricated value. */
+  private def kneeJson: String = {
+    val p = java.nio.file.Paths.get("KNEE.json")
+    if (!java.nio.file.Files.exists(p)) return ""
+    val txt = java.nio.file.Files.readString(p)
+    def at8(section: String): Option[String] =
+      (s""""$section"\\s*:\\s*\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
+        .flatMap(m => """"8"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(m.group(1)).map(_.group(1)))
+    (at8("total_task_inflation_vs_1core"),
+     at8("cpu_time_inflation_vs_1core"),
+     at8("coordination_residual_vs_1core")) match {
+      case (Some(t), Some(k), Some(r)) =>
+        s""","knee":{"task_inflation_8c":$t,"kernel_inflation_8c":$k,""" +
+          s""""residual_8c":$r,"source":"KNEE.json"}"""
+      case _ => ""
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -254,9 +334,11 @@ object Bench {
     // what the fork removes).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val skipCrawl = sys.env.contains("SPARK_GRAFT_SKIP_CRAWL")
-    val (nUrls, secN, sec4N) =
-      if (skipCrawl) (0L, 0.0, 0.0)
+    val probePre = if (skipCrawl) -1.0 else forkedProbeMs()
+    val sc =
+      if (skipCrawl) Scaling(0L, 0.0, 0.0, Nil, Nil, 0.0, 0.0, converged = false)
       else crawlScaling(nCores, crawlEntities)
+    val (nUrls, secN, sec4N) = (sc.urls, sc.secN, sc.sec4N)
 
     val spark = newSession(cpus)
     // JIT/codegen warmup at the smallest SF: the first query of a fresh
@@ -287,14 +369,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the post probe runs AFTER the query phase (forked — JVM heap history
+    // cannot skew it): pre vs post brackets the whole run
+    val probePost = if (skipCrawl) -1.0 else forkedProbeMs()
+    def repsJson(rs: Seq[Rep]): String = rs.map(r =>
+      s"""{"sec":${num("%.2f", r.sec)},"clean":${r.clean}}""")
+      .mkString("[", ",", "]")
     // a skipped crawl section can NEVER read as a passing measurement:
     // explicit skipped flag + zero efficiency (0.0 can't clear the 0.8 bar)
     val crawlJson =
-      if (skipCrawl) """{"skipped":true,"urls":0,"scaling_efficiency":0.0}"""
+      if (skipCrawl)
+        """{"skipped":true,"urls":0,"scaling_efficiency":0.0,"converged":false}"""
       else s"""{"urls":$nUrls,"cores_n":$nCores,"cores_4n":${nCores * 4},""" +
         s""""sec_n":${num("%.2f", secN)},"urls_per_sec_n":${num("%.1f", thrN)},""" +
         s""""sec_4n":${num("%.2f", sec4N)},"urls_per_sec_4n":${num("%.1f", thr4N)},""" +
-        s""""scaling_efficiency":${num("%.3f", eff)}}"""
+        s""""scaling_efficiency":${num("%.3f", eff)},""" +
+        // evidence block: the number above is only as good as these —
+        // per-rep seconds + probe-clean flags (did the gates engage, or
+        // did a contended window collapse sampling to min-of-one?),
+        // probe floor/max across the run, fresh-JVM machine probes
+        // bracketing the whole bench, and whether BOTH sides met the
+        // convergence quota
+        s""""converged":${sc.converged},""" +
+        s""""reps_n":${repsJson(sc.repsN)},"reps_4n":${repsJson(sc.reps4N)},""" +
+        s""""probe_floor_ms":${num("%.1f", sc.probeFloorMs)},""" +
+        s""""probe_max_ms":${num("%.1f", sc.probeMaxMs)},""" +
+        s""""probe_pre_ms":${num("%.1f", probePre)},""" +
+        s""""probe_post_ms":${num("%.1f", probePost)}""" +
+        kneeJson + "}"
     val jsonLine =
       s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}"""
     println(jsonLine)
@@ -304,12 +406,26 @@ object Bench {
       java.nio.file.Paths.get("BENCH_result.json"), jsonLine + "\n")
 
     if (skipCrawl) return
-    // append scaling evidence to BENCH.md
+    // append scaling evidence to BENCH.md; an unconverged run is marked
+    // in the efficiency cell so the table can never silently carry one
+    val effCell = num("%.3f", eff) + (if (sc.converged) "" else " (unconverged)")
     val line =
-      s"""| ${java.time.Instant.now} | $crawlEntities | $nUrls | $nCores/${nCores * 4} | ${num("%.2f", secN)} | ${num("%.1f", thrN)} | ${num("%.2f", sec4N)} | ${num("%.1f", thr4N)} | ${num("%.3f", eff)} |"""
+      s"""| ${java.time.Instant.now} | $crawlEntities | $nUrls | $nCores/${nCores * 4} | ${num("%.2f", secN)} | ${num("%.1f", thrN)} | ${num("%.2f", sec4N)} | ${num("%.1f", thr4N)} | $effCell |"""
     val benchMd = java.nio.file.Paths.get("BENCH.md")
     if (java.nio.file.Files.exists(benchMd))
       java.nio.file.Files.writeString(benchMd,
         java.nio.file.Files.readString(benchMd) + line + "\n")
+  }
+}
+
+/** Fresh-JVM machine probe (forked by [[Bench.main]] before the crawl
+  * block and after the query phase): same 256 MB streaming kernel as the
+  * in-run probes, but immune to the forker's heap history. Prints one
+  * `BENCHPROBE ms=<min-of-3>` line. */
+object BenchProbeMain {
+  def main(args: Array[String]): Unit = {
+    val ms = (1 to 3).map(_ => Bench.probeMs()).min
+    println("BENCHPROBE ms=" +
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(ms)))
   }
 }
