@@ -182,15 +182,18 @@ object MultimodalOps {
   }
 
   /** The full q_media_decode twin: byte-fold accumulators from the
-    * exported payload (bytes re-encoded as INT[] — verify-only plumbing,
-    * see [[exportMediaBytes]]), World.mix(acc, i) = mix64(mix64(MixInit ^
-    * acc) ^ i), then the same %.6f fixed-point JSON the query emits.
+    * exported payload (bytes re-encoded as a JSON int list — verify-only
+    * plumbing, see [[exportMediaBytes]]), World.mix(acc, i) = mix64(mix64(
+    * MixInit ^ acc) ^ i), then the same %.6f fixed-point JSON the query
+    * emits.
     * 0x6A09E667F3BCC909 (MixInit) = 7640891576956012809. */
   private def mediaDecodeSql: String = {
     val (m1, m1out) = mix64Ctes("m1", "t0")
     val (m2, m2out) = mix64Ctes("m2", "t5")
     s"""WITH pb AS (
-       |  SELECT media_id, b
+       |  SELECT media_id,
+       |    list_transform(string_split(trim(b_json, '[]'), ','),
+       |      x -> CAST(x AS INT)) AS b
        |  FROM read_parquet('__EXPORT__/export_media_bytes/*.parquet')
        |), acc AS (
        |  SELECT media_id, CAST(ii.i AS BIGINT) AS i,
@@ -252,15 +255,19 @@ object MultimodalOps {
         $"duration_ms")
   }
 
-  /** The payload bytes re-encoded as INT[0,255] arrays — verify-only
-    * plumbing so the q_media_decode twin can byte-fold in SQL (DuckDB's
-    * BLOB element access has no clean list form). The engine never ships
-    * payloads this way; it is the oracle's independent view of the same
-    * binary column. */
+  /** The payload bytes re-encoded as a JSON string of INT[0,255] — verify-
+    * only plumbing so the q_media_decode twin can byte-fold in SQL
+    * (DuckDB's BLOB element access has no clean list form). A SCALAR
+    * column, not array<int>: the driver's pandas compare sorts every
+    * export column, and an ndarray cell is unhashable there (the one
+    * permanent ERR row in rounds ≤4); the twin's pb CTE splits it back
+    * into a list. The engine never ships payloads this way; it is the
+    * oracle's independent view of the same binary column. */
   def exportMediaBytes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
-      .map(r => (r.media_id, r.bytes.map(b => b & 0xFF)))
-      .toDF("media_id", "b")
+      .map(r => (r.media_id,
+        r.bytes.map(b => b & 0xFF).mkString("[", ",", "]")))
+      .toDF("media_id", "b_json")
   }
 }
