@@ -100,9 +100,11 @@ object CrawlRepMain {
       println("CRAWLREP urls=" + urls + " sec=" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
       stats.foreach { s =>
-        // listener bus is async: give it a moment to drain the tail of
-        // task-end events before reading the totals
-        Thread.sleep(2000)
+        // listener bus is async: drain it DETERMINISTICALLY before reading
+        // the totals (a fixed sleep was a race — task-end events arriving
+        // after it were silently dropped from the attribution series)
+        org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(
+          spark.sparkContext, 60000L)
         val entries = s.taskMs.toSeq.sortBy(-_._2).map { case (id, ms) =>
           val name = s.names.getOrElse(id, "?").replace("\"", "'")
           s"""{"stage":$id,"name":"$name","taskMs":$ms,"tasks":${s.tasks.getOrElse(id, 0)}}"""

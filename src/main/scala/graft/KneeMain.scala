@@ -148,14 +148,21 @@ object KneeMain {
       (crawlSec(a) / crawlSec(b)) / (b.toDouble / a)
     val pairs = cores.sliding(2).collect { case Seq(a, b) =>
       s""""${a}v$b":${num(pairEff(a, b))}""" }.mkString(",")
-    val oneVfour = if (cores.contains(1) && cores.contains(4))
+    // skip the explicit 1v4 suffix when sliding(2) already emitted that
+    // pair (cores == 1,4 adjacent) — duplicate JSON keys otherwise
+    val oneVfour = if (cores.contains(1) && cores.contains(4) &&
+        !cores.sliding(2).toSeq.contains(Seq(1, 4)))
       s""","1v4":${num(pairEff(1, 4))}""" else ""
     // coordination residual: actual wall vs the wall predicted by task
-    // inflation alone (sec_base × inflation / c) — >1.0 means wall-clock
-    // loss NOT explained by tasks running slower, i.e. scheduling /
-    // barrier / straggler loss, the part that is the ENGINE's to own
+    // inflation alone (sec_base × base / c × inflation) — >1.0 means
+    // wall-clock loss NOT explained by tasks running slower, i.e.
+    // scheduling / barrier / straggler loss, the part that is the
+    // ENGINE's to own. The × base factor matters when the base core
+    // count is not 1 (GRAFT_KNEE_CORES="2,4,8"): predicted wall at c
+    // cores starts from base's per-core work sec_base × base.
     def coord(c: Int): Double =
-      crawlSec(c) * c / (crawlSec(base) * (totalMs(c).toDouble / totalMs(base)))
+      crawlSec(c) * c /
+        (crawlSec(base) * base * (totalMs(c).toDouble / totalMs(base)))
 
     val json =
       s"""{

@@ -57,10 +57,28 @@ object DedupOps {
     * lifetime (Bench runs warmup + timed in one JVM). Only for verified
     * near-dup PAIR SETS, whose size is bounded by true near-dup density,
     * not input size; a production run sinks pairs to storage instead of
-    * returning a frame at all. */
+    * returning a frame at all.
+    *
+    * The detach is GATED on a row-count ceiling: the density assumption
+    * breaks for degenerate parameters (threshold 0 on a dup-dense corpus
+    * is O(n²) pairs), and an unbounded collect there would OOM the
+    * driver. Over the ceiling the result stays a persisted DISTRIBUTED
+    * frame — materialized here so callers can still release the upstream
+    * kernel cache immediately; the one persisted pair frame is then the
+    * caller's to unpersist (or sink) when done. The limit(ceiling+1)
+    * probe costs the same single job the collect already paid in the
+    * small case. */
+  private val detachCeiling = 1 << 20 // pair rows; ~50 MB of (long,long,double)
   private def detachSmall(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    df.sparkSession.createDataFrame(rows, df.schema)
+    val probe = df.limit(detachCeiling + 1).collect()
+    if (probe.length <= detachCeiling) {
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(probe: _*), df.schema)
+    } else {
+      val big = df.persist()
+      big.count() // materialize before the caller drops the kernel cache
+      big
+    }
   }
 
   /** Candidate pairs via MinHash LSH banding (b bands × r rows), verified

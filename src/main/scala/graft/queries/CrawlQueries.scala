@@ -73,6 +73,11 @@ object CrawlQueries {
     * string_agg over the flattened span export. */
   def crawlDocs(spark: SparkSession, dir: String): DataFrame =
     Crawl.docsView(spark, sharedCrawl(spark)).toDF()
+      // span-less content docs are dropped to mirror the twin exactly:
+      // the DuckDB side groups the flattened span export, which has no
+      // rows for such a doc (none exist in the current synthetic world —
+      // this pins the agreement for any world)
+      .filter(size($"spans") > 0)
       .select(
         $"doc_id",
         size($"spans").cast("long").as("n_spans"),
@@ -121,8 +126,11 @@ object CrawlQueries {
         $"hasContent".as("has_content"), $"mainImageUrl".as("main_image_url"),
         size($"spans").as("n_spans"), $"tick",
         // content docs carry the full span-sequence fingerprint; the twin
-        // left-joins it from the span export (non-content docs → NULL)
-        when($"hasContent", spansFp).as("spans_fp"))
+        // left-joins it from the span export (non-content docs → NULL).
+        // size > 0 guard: a content doc with ZERO spans has no rows in
+        // the span export either, so the twin yields NULL — md5 of the
+        // empty concat here would be a parity false-red
+        when($"hasContent" && size($"spans") > 0, spansFp).as("spans_fp"))
   }
 
   /** Gallery view with IS_MAIN_IMAGE flag + thumbnail derivation (J4/F7). */
