@@ -234,18 +234,32 @@ object Bench {
     }
     def done: Boolean = sideConverged(c4) && sideConverged(nCores)
     var round = 0
-    while (round < minRounds ||
-           (round < maxRounds && !done && elapsed < deadlineSec)) {
+    while (round < minRounds) {
       // 4N first within each round: the short, noise-sensitive side gets
       // the freshest window
       rep(c4)
       rep(nCores)
       round += 1
     }
-    // cheap toppers: if only the 4N side is unconverged, buy extra 4N reps
+    // past minRounds, buy reps ONLY for unconverged sides — a full round
+    // that re-reps an already-converged ~200 s N side just to chase the
+    // 4N quota spends most of the remaining deadline on a side that
+    // already met its quota (same rule as the contention re-entry below)
+    while (round < maxRounds && !done && elapsed < deadlineSec) {
+      if (!sideConverged(c4)) rep(c4)
+      if (!sideConverged(nCores)) rep(nCores)
+      round += 1
+    }
+    // cheap toppers: extra 4N reps whenever the deadline allows. The 4N
+    // side is the high-variance one (same-HEAD history: 49.8-64.3 s, a
+    // 29% spread, vs 10% on the ~200 s N side), and min-of-reps estimates
+    // the least-contended time — each ~60 s topper is another draw at the
+    // quiet-window value. Convergence may stop the main loop after two
+    // 4N reps that agree with each other but sit in the same contended
+    // sub-window (observed: 60.0/58.9 agreeing within 2% while the quiet
+    // value is ~50-55 s); toppers run regardless, up to 4 total 4N reps.
     var toppers = 0
-    while (toppers < 3 && !sideConverged(c4) && sideConverged(nCores) &&
-           elapsed < deadlineSec) {
+    while (toppers < 3 && reps(c4).size < 4 && elapsed < deadlineSec) {
       rep(c4)
       toppers += 1
     }

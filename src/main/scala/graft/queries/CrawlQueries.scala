@@ -198,6 +198,25 @@ object CrawlQueries {
         $"counters.spans".cast("long").as("spans"))
   }
 
+  /** The persisted URL-seen state under the driver signal (S11/S12 + the
+    * two-phase Bloom+anti-join URL dedup, SURVEY.md §7.3): the seen-set
+    * DELTA at tick k — the rows the tick-k seen write appended, i.e. what
+    * every later tick's Bloom prefilter and exact anti-join consume — must
+    * equal the union of tick-k page URLs, recomputed independently by the
+    * DuckDB twin from the page export. Equality proves the dedup state is
+    * exactly what was fetched: nothing lost in the seen write, nothing
+    * double-appended by resume. The ordered-concat fingerprint is
+    * verify-only plumbing (a tick's batch is bounded by the politeness
+    * budget); the engine never collects URL lists. */
+  def bloomSeen(spark: SparkSession, dir: String): DataFrame = {
+    val work = sharedCrawl(spark)
+    spark.read.parquet(Crawl.seenDir(work))
+      .groupBy($"tick".cast("int").as("tick"))
+      .agg(count(lit(1)).as("n_urls"),
+        md5(concat_ws("\u0001", sort_array(collect_list($"url"))))
+          .as("urls_fp"))
+  }
+
   // ---- MergeStore under the hard signal (S9/S10/M1/M4) ---------------------
 
   /** Deterministic ingest generations derived from the documents table so
@@ -249,6 +268,7 @@ object CrawlQueries {
     "q_crawl_image_freq" -> (crawlImageFreq _),
     "q_refresh_one" -> (refreshOne _),
     "q_manifest_counters" -> (manifestCounters _),
+    "q_bloom_seen" -> (bloomSeen _),
     "q_stream_batch_parity" -> (streamBatchParity _),
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
@@ -330,6 +350,15 @@ object CrawlQueries {
         |  CAST(sum(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS fetched_ok,
         |  CAST(sum(CASE WHEN has_content THEN 1 ELSE 0 END) AS BIGINT) AS parsed_docs,
         |  CAST(sum(n_spans) AS BIGINT) AS spans
+        |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+        |GROUP BY tick""".stripMargin,
+    // S11/S12 + §7.3 dedup state: the persisted seen-set delta at tick k
+    // (read from the engine's seen table — the state later ticks' dedup
+    // consumes) must equal the union of tick-k page URLs, recomputed here
+    // from the independent page export
+    "q_bloom_seen" ->
+      """SELECT tick, count(*) AS n_urls,
+        |  md5(string_agg(url, chr(1) ORDER BY url)) AS urls_fp
         |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
         |GROUP BY tick""".stripMargin,
     // streaming ≡ batch: the streaming-driven crawl's pages (Spark side)

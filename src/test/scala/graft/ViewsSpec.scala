@@ -123,6 +123,28 @@ class ViewsSpec extends AnyFunSuite {
       .foreach(p => assert(p.getAs[String]("mainImageUrl") == ""))
   }
 
+  test("effectiveBloomCapacity keeps measured fpp <= 2x nominal at a 1.6M-URL world") {
+    // the SCALE.md world-size probe as a test: the world-derived capacity
+    // (max(2^20, 2.5 x nEntities)) must keep the prefilter pruning at the
+    // largest probed world — the fixed 2^20 capacity it replaced in round
+    // 4 silently over-saturated here (fpp far past nominal; correct but
+    // non-pruning, so the exact anti-join saw nearly the full frontier)
+    val cfg = CrawlConfig(seed = 42L, nEntities = 1640000L,
+      budgetPerHost = 64, saltBuckets = 4, maxTicks = 1, workDir = "")
+    val urls = Crawl.candidateUnits(spark, cfg).map(_.url)
+    val bf = graft.dedup.BloomSeen.build(
+      urls, cfg.effectiveBloomCapacity, cfg.bloomFpp)
+    val probes = 200000
+    val fp = (0 until probes).count(i =>
+      bf.mightContainString(s"https://not-a-world-url.example/$i"))
+    val fpp = fp.toDouble / probes
+    assert(fpp <= 2 * cfg.bloomFpp,
+      s"measured fpp $fpp > 2x nominal ${cfg.bloomFpp} " +
+        s"(capacity ${cfg.effectiveBloomCapacity})")
+    // and it holds the world: no false negative on a sample of members
+    urls.take(1000).foreach(u => assert(bf.mightContainString(u)))
+  }
+
   test("bloom sketches persist per tick and merge") {
     val bf = graft.dedup.BloomSeen.loadMerged(work)
     assert(bf.isDefined)
