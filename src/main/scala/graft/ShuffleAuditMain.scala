@@ -127,11 +127,52 @@ object ShuffleAuditMain {
         s""""disk_spill_bytes":$sp,""" +
         s""""sec":${num("%.3f", sec)}}"""
     }
+    // ---- crawl pipeline: shuffle volume vs page-output volume ----------
+    // The 100 TB claim for the crawl is structural: every shuffle carries
+    // frontier METADATA (url/host/salt/sortKey rows for dedup+politeness,
+    // qid-keyed rows for the sitelink SMJ) — page bodies are fetched,
+    // parsed, and written map-side AFTER batch selection and never cross
+    // an exchange. So shuffle bytes scale with frontier size, not corpus
+    // size: at 100 TB of bodies the shuffles stay at frontier scale.
+    // Measured here on a real crawl (same config shape as the bench,
+    // smaller world) and recorded next to the per-query numbers.
+    val crawlJson = {
+      val work = Files.createTempDirectory("graft-shuffle-crawl").toString
+      val cfg = graft.crawl.Crawl.CrawlConfig(seed = 42L,
+        nEntities = sys.env.getOrElse("GRAFT_SHUFFLE_CRAWL_ENTITIES", "50000").toLong,
+        budgetPerHost = 1000000, saltBuckets = 4, maxTicks = 3, workDir = work)
+      val before = drained(totals.snapshot)
+      val t0 = System.nanoTime()
+      val ticks = graft.crawl.Crawl.run(spark, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = drained(totals.snapshot)
+      val Seq(sw, sr, _, _, sp) = after.zip(before).map { case (a, b) => a - b }
+      def dirBytes(p: java.io.File): Long =
+        if (p.isDirectory) p.listFiles().map(dirBytes).sum else p.length()
+      val pageBytes = dirBytes(new java.io.File(s"$work/pages"))
+      val stateBytes = dirBytes(new java.io.File(work))
+      val urls = ticks.map(_.scheduled).sum
+      // tmpfs is memory on this host — drop the state as soon as measured
+      def rmTree(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmTree)
+        p.delete(): Unit
+      }
+      rmTree(new java.io.File(work))
+      System.err.println(f"[shuffle] crawl ${urls} urls: shuffle write=${sw / 1e6}%.1fMB " +
+        f"read=${sr / 1e6}%.1fMB spill=${sp / 1e6}%.1fMB pages=${pageBytes / 1e6}%.1fMB " +
+        f"state=${stateBytes / 1e6}%.1fMB ratio=${sw.toDouble / pageBytes}%.3f ${sec}%.1fs")
+      s""""crawl": {"entities":${cfg.nEntities},"urls":$urls,"ticks":${ticks.size},
+         |    "shuffle_write_bytes":$sw,"shuffle_read_bytes":$sr,"disk_spill_bytes":$sp,
+         |    "pages_output_bytes":$pageBytes,"state_output_bytes":$stateBytes,
+         |    "shuffle_to_pages_ratio":${num("%.4f", sw.toDouble / math.max(1L, pageBytes))},
+         |    "sec":${num("%.2f", sec)}},""".stripMargin
+    }
     spark.stop()
     val json =
       s"""{
          |  "sf": "$sfDir",
          |  "cores": $cpus,
+         |  $crawlJson
          |  "method": "noop-sink write (full-column materialization); per-query task-metric deltas bracketed by deterministic listener-bus drains. scanned_file_bytes = on-disk size of the plan's scan locations (column pruning reads less); fs_bytes_read is the raw task-metric counter, which under-reports vectorized parquet on local file:// and fully reports cached-block reads — shuffle/spill counters are the accurate scale numbers",
          |  "queries": {
          |${rows.mkString(",\n")}
