@@ -217,6 +217,24 @@ object CrawlQueries {
           .as("urls_fp"))
   }
 
+  /** C2/C3 under the driver signal — the politeness/rate budget audited
+    * per (tick, host): the reference caps requests globally
+    * (wikipedia_http.py:45-50, MAX_RPS) and the distributed twin divides
+    * that budget across hosts and salt buckets (SURVEY.md §2.9 C2/C3 —
+    * the ranked-window selection in Crawl.selectBatch). Every tick's
+    * per-host scheduled count, recomputed here from the persisted pages
+    * and independently by the DuckDB twin from the page export, must sit
+    * within budgetPerHost — the within_budget flag is computed from the
+    * SAME config literal on both sides, so a budget violation would flip
+    * it identically in both and still be visible in the result rows. */
+  def rateLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val work = sharedCrawl(spark)
+    spark.read.parquet(s"$work/pages")
+      .groupBy($"tick", $"host")
+      .agg(count(lit(1)).as("n_scheduled"))
+      .withColumn("within_budget", $"n_scheduled" <= sharedCfg.budgetPerHost)
+  }
+
   // ---- MergeStore under the hard signal (S9/S10/M1/M4) ---------------------
 
   /** Deterministic ingest generations derived from the documents table so
@@ -269,6 +287,7 @@ object CrawlQueries {
     "q_refresh_one" -> (refreshOne _),
     "q_manifest_counters" -> (manifestCounters _),
     "q_bloom_seen" -> (bloomSeen _),
+    "q_rate_limit_audit" -> (rateLimitAudit _),
     "q_stream_batch_parity" -> (streamBatchParity _),
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
@@ -361,6 +380,13 @@ object CrawlQueries {
         |  md5(string_agg(url, chr(1) ORDER BY url)) AS urls_fp
         |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
         |GROUP BY tick""".stripMargin,
+    // C2/C3: per-(tick, host) scheduled counts recomputed from the page
+    // export; the budget literal mirrors sharedCfg.budgetPerHost
+    "q_rate_limit_audit" ->
+      s"""SELECT tick, host, count(*) AS n_scheduled,
+         |  count(*) <= ${sharedCfg.budgetPerHost} AS within_budget
+         |FROM read_parquet('__EXPORT__/export_crawl_pages/*.parquet')
+         |GROUP BY tick, host""".stripMargin,
     // streaming ≡ batch: the streaming-driven crawl's pages (Spark side)
     // must equal the BATCH engine's exported pages row-for-row, including
     // tick assignment and the per-doc span-sequence fingerprint (rebuilt

@@ -202,6 +202,76 @@ object Relational {
         $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
 
+  /** W5 — chunking (paging): the reference batches every write path into
+    * fixed-size sequential chunks (frontier chunks of 50
+    * `wikipedia_crawler.py:808-810`, upsert chunks of 500
+    * `citizenphil.py:344-345`, delete chunks of 5000
+    * `add_unique_section_image_keys.py:69,147-158`). Distributed twin: a
+    * single process chunks ONE global sequence; a cluster chunks one
+    * sequence PER writer bucket — chunk identity = (bucket, ⌊(rank-1)/N⌋)
+    * with rank over the in-bucket upsert order, a bucket-partitioned
+    * window (one shuffle, no global sort; the physical file-batching half
+    * of W5 is the crawl writer's maxRecordsPerFile). Every chunk except a
+    * bucket's last has exactly N rows, chunks are contiguous in key order
+    * — the per-chunk fingerprint over the ordered member keys pins both,
+    * recomputed independently by the DuckDB twin. */
+  def chunkUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"bucket").orderBy($"o_orderkey".asc)
+    t(spark, dir, "orders")
+      .select($"o_orderkey", pmod($"o_orderkey", lit(8)).as("bucket"))
+      .withColumn("chunk_id", floor((row_number().over(w) - 1) / 500))
+      .groupBy($"bucket", $"chunk_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"o_orderkey").as("min_key"),
+        max($"o_orderkey").as("max_key"),
+        md5(concat_ws("\u0001",
+          transform(sort_array(collect_list($"o_orderkey")), _.cast("string"))))
+          .as("keys_fp"))
+  }
+
+  /** U1 — union by precedence: the reference's multi-family run processes
+    * family frontiers sequentially, earlier families shadowing later ones
+    * (the EXCEPT-by-precedence chain, SURVEY.md §2 U1/J2). Distributed
+    * twin: `unionByName` over per-family legs tagged with their precedence
+    * rank — by NAME, so each leg's column order is irrelevant (the legs
+    * below deliberately differ) — then ONE precedence window keeps the
+    * best-ranked row per key, exactly the J2 rewrite applied to the
+    * unioned set. */
+  def unionPrecedence(spark: SparkSession, dir: String): DataFrame = {
+    def leg(status: String, rank: Int): DataFrame = {
+      val o = t(spark, dir, "orders").filter($"o_orderstatus" === status)
+      // distinct column orders per leg: unionByName must align by name
+      if (rank == 0)
+        o.select($"o_custkey", $"o_orderkey", lit(rank).as("family_rank"))
+      else
+        o.select(lit(rank).as("family_rank"), $"o_orderkey", $"o_custkey")
+    }
+    val unioned = leg("F", 0).unionByName(leg("O", 1)).unionByName(leg("P", 2))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"family_rank".asc, $"o_orderkey".asc)
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"family_rank", $"o_orderkey")
+  }
+
+  /** S2 — constant-row source: the reference's `other` family frontier is a
+    * one-row literal relation (`SELECT 'Q1204187' ... FROM DUAL`,
+    * wikipedia_crawler.py:316-325). Here the literal row is a real source
+    * in a plan — a local relation Catalyst broadcasts into the join (the
+    * crawl engine's own instance is the robots rules dimension,
+    * Crawl.robotsDim). */
+  def constSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val const = Seq(("Q1204187", 400000.0)).toDF("qid", "threshold")
+    t(spark, dir, "orders")
+      .join(broadcast(const), $"o_totalprice" > $"threshold")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_above"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+  }
+
   /** DuckDB oracle SQL — one entry per query above, same column names. */
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -284,7 +354,36 @@ object Relational {
     "q_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_chunk_upsert" ->
+      """SELECT bucket, chunk_id, count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  md5(string_agg(CAST(o_orderkey AS VARCHAR), chr(1) ORDER BY o_orderkey))
+        |    AS keys_fp
+        |FROM (
+        |  SELECT o_orderkey, o_orderkey % 8 AS bucket,
+        |    CAST((row_number() OVER (PARTITION BY o_orderkey % 8
+        |        ORDER BY o_orderkey ASC) - 1) // 500 AS BIGINT) AS chunk_id
+        |  FROM orders)
+        |GROUP BY bucket, chunk_id""".stripMargin,
+    "q_union_precedence" ->
+      """SELECT o_custkey, family_rank, o_orderkey FROM (
+        |  SELECT o_custkey, family_rank, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY family_rank ASC, o_orderkey ASC) AS rn
+        |  FROM (
+        |    SELECT o_custkey, o_orderkey, 0 AS family_rank FROM orders
+        |      WHERE o_orderstatus = 'F'
+        |    UNION ALL
+        |    SELECT o_custkey, o_orderkey, 1 FROM orders WHERE o_orderstatus = 'O'
+        |    UNION ALL
+        |    SELECT o_custkey, o_orderkey, 2 FROM orders WHERE o_orderstatus = 'P'))
+        |WHERE rn = 1""".stripMargin,
+    "q_const_source" ->
+      """SELECT c.qid, count(*) AS n_above, round(max(o.o_totalprice), 2) AS max_price
+        |FROM (SELECT 'Q1204187' AS qid, 400000 AS threshold) c
+        |JOIN orders o ON o.o_totalprice > c.threshold
+        |GROUP BY c.qid""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -303,6 +402,9 @@ object Relational {
     "q_regex_filter_extract" -> (regexFilterExtract _),
     "q_str_canon" -> (strCanon _),
     "q_json_extract" -> (jsonExtract _),
-    "q_hourly_agg" -> (hourlyAgg _)
+    "q_hourly_agg" -> (hourlyAgg _),
+    "q_chunk_upsert" -> (chunkUpsert _),
+    "q_union_precedence" -> (unionPrecedence _),
+    "q_const_source" -> (constSource _)
   )
 }

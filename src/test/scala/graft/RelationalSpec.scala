@@ -44,7 +44,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(v.length == 10 && v.sameElements(v.sortBy(-_)))
   }
 
+  test("chunk_upsert: every non-final chunk holds exactly 500 contiguous keys") {
+    val rows = SparkEntry.queries("q_chunk_upsert")(spark, sf0001).collect()
+    val byBucket = rows.groupBy(_.getAs[Long]("bucket"))
+    byBucket.values.foreach { chunks =>
+      val ordered = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      ordered.init.foreach(c => assert(c.getAs[Long]("n_rows") == 500L))
+      assert(ordered.last.getAs[Long]("n_rows") <= 500L)
+      // contiguity in key order: chunk k's max_key precedes chunk k+1's min_key
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_key") < b.getAs[Long]("min_key"))
+        case _ =>
+      }
+    }
+  }
+
+  test("union precedence keeps the best-ranked row per key") {
+    val df = SparkEntry.queries("q_union_precedence")(spark, sf0001)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    // a key with a rank-0 (status F) order must resolve to rank 0
+    val viaF = Queries.ordersWithStatus(spark, sf0001, "F")
+    val resolved = df.join(viaF, Seq("o_custkey"), "left_semi")
+    assert(resolved.filter(col("family_rank") =!= 0).count() == 0)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+}
+
+/** Tiny fixture helpers for the assertions above. */
+private object Queries {
+  def ordersWithStatus(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       status: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === status)
+      .select(col("o_custkey")).distinct()
 }
