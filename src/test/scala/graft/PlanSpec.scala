@@ -80,6 +80,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), p)
   }
 
+  test("union precedence resolves on a single key exchange") {
+    // three filtered scans union map-side; the only shuffle is the
+    // precedence window's hash(o_custkey) exchange
+    val p = plan("q_union_precedence")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("const source broadcasts the literal relation") {
+    val p = plan("q_const_source")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row literal must be the broadcast side:\n$p")
+  }
+
+  test("chunk upsert aggregates on the window's bucket exchange") {
+    // the groupBy(bucket, chunk_id) keys are clustered by the window's
+    // hash(bucket) exchange (subset rule) — no second shuffle
+    val p = plan("q_chunk_upsert")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
+  }
+
   // ---- crawl candidate/batch plan shape (the round-3 scaling work) --------
 
   private lazy val crawlBatchPlan: String = {
