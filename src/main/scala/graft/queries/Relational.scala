@@ -202,6 +202,35 @@ object Relational {
         $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
 
+  /** Batch twin of the streaming sessionization
+    * (graft.streaming.StreamingOps.sessionize — flatMapGroupsWithState):
+    * a session closes after >30 min of event-time inactivity, events
+    * ordered by (ts, event_id), gap compared in integer milliseconds
+    * exactly as the stateful op does. Declarative form: lag + running sum
+    * of session starts, then one aggregate — the lag window, the running
+    * sum, AND the groupBy(user_id, session_id) all cluster by user_id, so
+    * the whole plan rides ONE exchange. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gapMs = 30L * 60L * 1000L
+    t(spark, dir, "events")
+      // parquet infers TIMESTAMP_NTZ; unix_millis needs TIMESTAMP (the
+      // session zone is pinned UTC, so the cast is a pure reinterpret)
+      .withColumn("ts_ms", unix_millis($"ts".cast("timestamp")))
+      .withColumn("new_sess",
+        when(lag($"ts_ms", 1).over(w).isNull ||
+          $"ts_ms" - lag($"ts_ms", 1).over(w) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("started"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ended"))
+  }
+
   /** W5 — chunking (paging): the reference batches every write path into
     * fixed-size sequential chunks (frontier chunks of 50
     * `wikipedia_crawler.py:808-810`, upsert chunks of 500
@@ -383,7 +412,27 @@ object Relational {
       """SELECT c.qid, count(*) AS n_above, round(max(o.o_totalprice), 2) AS max_price
         |FROM (SELECT 'Q1204187' AS qid, 400000 AS threshold) c
         |JOIN orders o ON o.o_totalprice > c.threshold
-        |GROUP BY c.qid""".stripMargin
+        |GROUP BY c.qid""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS started,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS ended
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) IS NULL
+        |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id)) > 1800000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY user_id, session_id""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -405,6 +454,7 @@ object Relational {
     "q_hourly_agg" -> (hourlyAgg _),
     "q_chunk_upsert" -> (chunkUpsert _),
     "q_union_precedence" -> (unionPrecedence _),
-    "q_const_source" -> (constSource _)
+    "q_const_source" -> (constSource _),
+    "q_sessionize" -> (sessionize _)
   )
 }

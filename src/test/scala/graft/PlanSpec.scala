@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
   }
 
+  test("sessionize rides one user_id exchange end to end") {
+    // lag window, running-sum window, and groupBy(user_id, session_id)
+    // all cluster by user_id — one exchange, no re-shuffles between them
+    val p = plan("q_sessionize")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
+  }
+
   // ---- crawl candidate/batch plan shape (the round-3 scaling work) --------
 
   private lazy val crawlBatchPlan: String = {
