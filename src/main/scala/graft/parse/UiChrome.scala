@@ -64,7 +64,13 @@ object UiChrome {
   // Substring battery (Python re.search) — wikipedia_images.py:235-237
   private val suffixPatterns: Seq[Pattern] = Seq(p("disambig"))
 
-  private val thumbPrefix = p("^(lang[a-z-]+-)?\\d+px-")
+  /** F5 — the thumb-prefix rule (wikipedia_images.py:239-242): an optional
+    * language-variant marker then a pixel-width marker. ONE definition
+    * shared by the chrome predicate below and the driver-visible
+    * `q_thumb_strip` column twin. */
+  val ThumbPrefixRegex = "^(lang[a-z-]+-)?\\d+px-"
+
+  private val thumbPrefix = p(ThumbPrefixRegex)
 
   private val iconsetExtensions = Seq(".svg", ".png")
 

@@ -301,6 +301,28 @@ object Relational {
         round(max($"o_totalprice"), 2).as("max_price"))
   }
 
+  /** F5 — thumb-prefix strip (wikipedia_images.py:239-242) under the
+    * driver signal: deterministic filename variants derived from the
+    * documents table — a width prefix, a language-variant width prefix,
+    * the bare name, and two prefix LOOKALIKES that must NOT strip (no
+    * trailing dash; `px-` with no digits) — stripped with the SAME
+    * pattern the chrome predicate compiles ([[graft.parse.UiChrome
+    * .ThumbPrefixRegex]]); the DuckDB twin re-applies the rule with its
+    * own regex engine. */
+  def thumbStrip(spark: SparkSession, dir: String): DataFrame = {
+    val name = concat(lit("File_"), $"doc_id", lit(".png"))
+    t(spark, dir, "documents")
+      .select($"doc_id", explode(array(
+        concat(lit("320px-"), name),
+        concat(lit("langfr-240px-"), name),
+        name,
+        concat(lit("320px"), name),
+        concat(lit("px-"), name))).as("variant"))
+      .withColumn("stripped",
+        regexp_replace($"variant", graft.parse.UiChrome.ThumbPrefixRegex, ""))
+      .withColumn("was_prefixed", $"variant" =!= $"stripped")
+  }
+
   /** DuckDB oracle SQL — one entry per query above, same column names. */
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -432,7 +454,18 @@ object Relational {
         |               ORDER BY ts, event_id)) > 1800000
         |      THEN 1 ELSE 0 END AS new_sess
         |    FROM events))
-        |GROUP BY user_id, session_id""".stripMargin
+        |GROUP BY user_id, session_id""".stripMargin,
+    "q_thumb_strip" ->
+      """SELECT doc_id, variant,
+        |  regexp_replace(variant, '^(lang[a-z-]+-)?\d+px-', '') AS stripped,
+        |  variant <> regexp_replace(variant, '^(lang[a-z-]+-)?\d+px-', '')
+        |    AS was_prefixed
+        |FROM (
+        |  SELECT doc_id, unnest([
+        |    '320px-' || name, 'langfr-240px-' || name, name,
+        |    '320px' || name, 'px-' || name]) AS variant
+        |  FROM (SELECT doc_id, 'File_' || doc_id || '.png' AS name
+        |        FROM documents))""".stripMargin
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -455,6 +488,7 @@ object Relational {
     "q_chunk_upsert" -> (chunkUpsert _),
     "q_union_precedence" -> (unionPrecedence _),
     "q_const_source" -> (constSource _),
-    "q_sessionize" -> (sessionize _)
+    "q_sessionize" -> (sessionize _),
+    "q_thumb_strip" -> (thumbStrip _)
   )
 }
