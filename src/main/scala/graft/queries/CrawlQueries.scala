@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.ColSyntax._
 import graft.crawl.{Crawl, Fetcher, Views}
@@ -271,6 +272,35 @@ object CrawlQueries {
   def mergeLatest(spark: SparkSession, dir: String): DataFrame =
     MergeStore.mergedView(spark, mergeStoreDir(spark, dir), keys = Seq("doc_id"))
 
+  /** M2/M3 — replace-set upsert + tail prune under the driver signal
+    * (wikipedia_page_writer.py:269-293, 334-398: bulk upsert keyed
+    * (doc, display_order) then `DELETE WHERE DISPLAY_ORDER > len(rows)`).
+    * The Spark answer replaces upsert+prune with ONE idempotent op: the
+    * latest generation's FULL item set wins per doc, so a re-crawl with
+    * fewer items implicitly prunes the tail (the same shape `docsView`
+    * applies to spans). Exercised on reconstructed generations whose item
+    * sets deliberately SHRINK as often as they grow — (doc_id + 2·gen) % 5
+    * + 1 items, same membership rule as the merge-store generations — and
+    * the row-set hash proves no stale tail item survives: a doc whose
+    * older generation had 5 items and whose latest has 2 contributes
+    * exactly 2 rows. The DuckDB twin rebuilds the generations, picks the
+    * latest per doc, and regenerates the item sequence independently. */
+  def replaceSet(spark: SparkSession, dir: String): DataFrame = {
+    def gen(g: Int): DataFrame =
+      Tables.t(spark, dir, "documents")
+        .select($"doc_id")
+        .filter(pmod($"doc_id" + g, lit(3)) =!= 0)
+        .select($"doc_id", lit(g).as("gen"),
+          transform(sequence(lit(0), pmod($"doc_id" + g * 2, lit(5))),
+            p => concat(lit("it_"), $"doc_id", lit("_"), p)).as("items"))
+    val w = Window.partitionBy($"doc_id").orderBy($"gen".desc)
+    (0 to 2).map(gen).reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"gen".as("winning_gen"),
+        posexplode($"items").as(Seq("display_order", "item")))
+  }
+
   /** M1+M4 — merge view with creation preservation (first gen's dat_creat)
     * and sticky never-blank main_img (latest NON-NULL wins). */
   def mergeCreationSticky(spark: SparkSession, dir: String): DataFrame =
@@ -291,6 +321,7 @@ object CrawlQueries {
     "q_stream_batch_parity" -> (streamBatchParity _),
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
+    "q_replace_set" -> (replaceSet _),
     "q_merge_creation_sticky" -> (mergeCreationSticky _))
 
   private val genSql =
@@ -432,6 +463,20 @@ object CrawlQueries {
          |LEFT JOIN img i ON fr.family = i.family AND fr.qid = i.qid
          |LEFT JOIN fmt f ON fr.family = 'movie' AND fr.qid = f.qid""".stripMargin
     },
+    // M2/M3: latest generation per doc, item sequence regenerated
+    // independently — a stale tail item from a longer older set would
+    // break the row-set hash
+    "q_replace_set" ->
+      """SELECT doc_id, gen AS winning_gen,
+        |  CAST(u.i AS INT) AS display_order,
+        |  'it_' || doc_id || '_' || u.i AS item
+        |FROM (
+        |  SELECT doc_id, gen FROM (
+        |    SELECT doc_id, gen,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
+        |    FROM documents CROSS JOIN (VALUES (0), (1), (2)) v(gen)
+        |    WHERE (doc_id + gen) % 3 <> 0) WHERE rn = 1),
+        |  UNNEST(range(0, (doc_id + gen * 2) % 5 + 1)) AS u(i)""".stripMargin,
     "q_merge_latest" ->
       s"""SELECT doc_id, val, main_img, dat_creat FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
