@@ -111,6 +111,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
   }
 
+  test("replace-set resolves three generation legs on one doc_id exchange") {
+    // the union of generation legs is narrow; the keep-latest window's
+    // hash(doc_id) exchange is the ONLY shuffle — posexplode stays local
+    val p = plan("q_replace_set")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
   // ---- crawl candidate/batch plan shape (the round-3 scaling work) --------
 
   private lazy val crawlBatchPlan: String = {
