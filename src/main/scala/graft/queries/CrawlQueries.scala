@@ -307,6 +307,23 @@ object CrawlQueries {
     MergeStore.mergedView(spark, mergeStoreDir(spark, dir), keys = Seq("doc_id"),
       creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
 
+  /** Bucketed snapshot under the hard signal: the SAME merged view, but
+    * routed through the read-optimized storage path — rewritten as a
+    * doc_id-bucketed, per-bucket-sorted parquet table
+    * ([[MergeStore.snapshotBucketed]]) and read BACK through the catalog.
+    * Hash-equality with the independent DuckDB merge twin proves the
+    * bucketed rewrite is lossless end-to-end (write → bucket files →
+    * catalog read), the property every later exchange-free doc-keyed
+    * window/join/agg over the snapshot rests on (BucketedStoreSpec pins
+    * those plans; at 100 TB the snapshot is what lets each tick shuffle
+    * only its delta instead of the full store). */
+  def bucketedSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val table = "bucketed_snap_" + math.abs(dir.hashCode).toString
+    MergeStore.snapshotBucketed(spark, mergeStoreDir(spark, dir), table,
+      numBuckets = 8, keys = Seq("doc_id"),
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_tick" -> (crawlTick _),
     "q_crawl_lang_summary" -> (crawlLangSummary _),
@@ -322,7 +339,8 @@ object CrawlQueries {
     "q_writeback_dim" -> (writebackDim _),
     "q_merge_latest" -> (mergeLatest _),
     "q_replace_set" -> (replaceSet _),
-    "q_merge_creation_sticky" -> (mergeCreationSticky _))
+    "q_merge_creation_sticky" -> (mergeCreationSticky _),
+    "q_bucketed_snapshot" -> (bucketedSnapshot _))
 
   private val genSql =
     """SELECT doc_id, gen, n_chars + gen * 10 AS val,
@@ -483,6 +501,20 @@ object CrawlQueries {
          |  FROM ($genSql)
          |) WHERE rn = 1""".stripMargin,
     "q_merge_creation_sticky" ->
+      s"""SELECT doc_id, val, main_img, dat_creat FROM (
+         |  SELECT doc_id, gen, val,
+         |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id
+         |      ORDER BY gen ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_img,
+         |    first_value(dat_creat) OVER (PARTITION BY doc_id ORDER BY gen ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dat_creat,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
+         |  FROM ($genSql)
+         |) WHERE rn = 1""".stripMargin,
+    // identical twin to q_merge_creation_sticky BY DESIGN: the Spark side
+    // routes through the bucketed-snapshot write + catalog read-back, so
+    // the shared hash proves the bucketed storage path is lossless
+    "q_bucketed_snapshot" ->
       s"""SELECT doc_id, val, main_img, dat_creat FROM (
          |  SELECT doc_id, gen, val,
          |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id

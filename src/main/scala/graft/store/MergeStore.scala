@@ -89,10 +89,6 @@ object MergeStore {
   def compact(spark: SparkSession, dir: String, keys: Seq[String],
               creationCols: Seq[String] = Nil,
               stickyCols: Seq[String] = Nil): Unit = {
-    def rm(f: java.io.File): Unit = if (f.exists) {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val target = new java.io.File(dir)
     val staging = new java.io.File(s"$dir.compact")
     val old = new java.io.File(s"$dir.old")
@@ -113,5 +109,48 @@ object MergeStore {
     require(spark.read.parquet(dir).columns.nonEmpty,
       s"compact: new base at $dir unreadable; old copy kept at $old")
     rm(old)
+  }
+
+  /** Bucketed snapshot of the merged view — the READ-optimized compaction.
+    *
+    * [[compact]] bounds the cost of the merge itself; this bounds every
+    * DOWNSTREAM key-clustered operator. The merged view is rewritten as a
+    * parquet table hash-bucketed (and per-bucket sorted) on the key
+    * columns, so keep-latest windows, doc-keyed sort-merge joins (J5
+    * backfill, S4 sitelink batch lookup) and groupBy-key aggregations over
+    * the snapshot read pre-shuffled data and plan with ZERO Exchange on
+    * the snapshot side — BucketedStoreSpec pins this against a
+    * plain-parquet negative control. At 100 TB this is the difference
+    * between re-shuffling the full store on every tick and shuffling only
+    * the tick's delta: one bucketed write amortizes the big shuffle across
+    * every later run, the role Iceberg's `bucket(N, key)` partition
+    * transform plays in the target deployment (SURVEY.md §7.0; the
+    * reference leans on its MySQL UNIQUE index the same way,
+    * citizenphil.py:160-368).
+    *
+    * `numBuckets` is the lever to size at scale: buckets ≈ store bytes /
+    * target file size (e.g. 100 TB / 256 MB ≈ 400k buckets), fixed once
+    * per table so successive snapshots stay join-compatible with each
+    * other. Returns the catalog-backed DataFrame over the new snapshot.
+    */
+  def snapshotBucketed(spark: SparkSession, dir: String, table: String,
+                       numBuckets: Int, keys: Seq[String],
+                       creationCols: Seq[String] = Nil,
+                       stickyCols: Seq[String] = Nil): DataFrame = {
+    val path = new java.io.File(s"$dir.bucketed")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    rm(path) // external-table path: DROP leaves the files behind
+    mergedView(spark, dir, keys, creationCols, stickyCols)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path.getPath)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  private def rm(f: java.io.File): Unit = if (f.exists) {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
   }
 }

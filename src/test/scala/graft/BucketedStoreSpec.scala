@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.store.MergeStore
+
+/** The bucketed-snapshot scale path: after `snapshotBucketed`, every
+  * key-clustered operator over the store (keep-latest window, doc-keyed
+  * SMJ, groupBy-key agg) must plan with ZERO Exchange on the snapshot
+  * side — the one-time bucketed write amortizes the store-wide shuffle
+  * across all later runs (the Iceberg bucket-transform role at 100 TB).
+  * A plain-parquet negative control proves the assertions aren't vacuous.
+  */
+class BucketedStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def fresh() = Files.createTempDirectory("graft-bstore").toString
+
+  private def exchanges(df: DataFrame): Int =
+    df.queryExecution.explainString(FormattedMode)
+      .linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+
+  // three generations over 600 (id, lang) keys: updates + late inserts
+  private lazy val dir: String = {
+    val d = fresh()
+    MergeStore.ingest(
+      (0L until 400L).map(i => (i, if (i % 3 == 0) "fr" else "en",
+        s"t$i-g0", s"c$i", if (i % 5 == 0) null else s"img$i"))
+        .toDF("id", "lang", "title", "dat_creat", "main_image"), d)
+    MergeStore.ingest(
+      (100L until 500L).map(i => (i, if (i % 3 == 0) "fr" else "en",
+        s"t$i-g1", s"c$i-late", null: String))
+        .toDF("id", "lang", "title", "dat_creat", "main_image"), d)
+    MergeStore.ingest(
+      (300L until 600L).map(i => (i, if (i % 3 == 0) "fr" else "en",
+        s"t$i-g2", s"c$i-later", s"img$i-new"))
+        .toDF("id", "lang", "title", "dat_creat", "main_image"), d)
+    d
+  }
+
+  private val keys = Seq("id", "lang")
+
+  private def rows(df: DataFrame): Set[(Long, String, String, String, String)] =
+    df.select("id", "lang", "title", "dat_creat", "main_image").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+
+  test("bucketed snapshot holds exactly the merged view's rows") {
+    val snap = MergeStore.snapshotBucketed(spark, dir, "pages_bucketed", 8,
+      keys, creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    val plain = MergeStore.mergedView(spark, dir, keys,
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    assert(rows(snap) == rows(plain))
+    assert(snap.count() == 600)
+  }
+
+  test("keep-latest window over the snapshot plans with ZERO exchange") {
+    val snap = spark.table("pages_bucketed")
+    val w = Window.partitionBy("id", "lang").orderBy(desc("title"))
+    val q = snap.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(exchanges(q) == 0,
+      q.queryExecution.explainString(FormattedMode))
+    assert(q.count() == 600) // and it still executes correctly
+  }
+
+  test("doc-keyed self-join is an exchange-free sort-merge join; plain parquet control shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val snap = spark.table("pages_bucketed")
+      val j = snap.as("a").join(snap.as("b"), keys)
+        .select($"a.id", $"a.lang", $"a.title", $"b.main_image")
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(exchanges(j) == 0, p)
+      assert(j.count() == 600)
+
+      // negative control: same data as plain (unbucketed) parquet must
+      // shuffle BOTH sides into the join
+      val plainDir = fresh() + "/plain"
+      snap.write.parquet(plainDir)
+      val plain = spark.read.parquet(plainDir)
+      val cj = plain.as("a").join(plain.as("b"), keys)
+        .select($"a.id", $"a.lang", $"a.title", $"b.main_image")
+      assert(exchanges(cj) >= 2,
+        cj.queryExecution.explainString(FormattedMode))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("groupBy-key aggregation over the snapshot plans with ZERO exchange") {
+    val snap = spark.table("pages_bucketed")
+    val q = snap.groupBy("id", "lang").agg(count(lit(1)).as("n"))
+    assert(exchanges(q) == 0,
+      q.queryExecution.explainString(FormattedMode))
+    assert(q.count() == 600)
+  }
+
+  test("re-snapshot after a new generation replaces the table in place") {
+    MergeStore.ingest(Seq((0L, "fr", "t0-g3", "c-new", null: String))
+      .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    val snap = MergeStore.snapshotBucketed(spark, dir, "pages_bucketed", 8,
+      keys, creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    val r = snap.filter($"id" === 0L && $"lang" === "fr").collect()
+    assert(r.length == 1 && r.head.getAs[String]("title") == "t0-g3")
+    // creation column still the FIRST generation's value
+    assert(r.head.getAs[String]("dat_creat") == "c0")
+    assert(snap.count() == 600)
+  }
+}
