@@ -324,6 +324,24 @@ object CrawlQueries {
       creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
   }
 
+  /** The "shuffle only the delta" merge step under the hard signal: base
+    * = bucketed snapshot of generations 0..2, delta = generation 3
+    * (resolved in ONE [[MergeStore.mergeDelta]] full-outer step, never
+    * ingested). Hash-equality with the independent 4-generation DuckDB
+    * merge twin proves the telescoping step exact — creation, sticky and
+    * latest-wins-including-null all resolve as if the full history were
+    * re-merged — while the plan shuffles only the delta side
+    * (BucketedStoreSpec pins it): per-tick merge cost O(delta), not
+    * O(store). */
+  def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = "bucketed_base_" + math.abs(dir.hashCode).toString
+    val base = MergeStore.snapshotBucketed(spark, mergeStoreDir(spark, dir),
+      table, numBuckets = 8, keys = Seq("doc_id"),
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
+    MergeStore.mergeDelta(base, mergeGeneration(spark, dir, 3), Seq("doc_id"),
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_img"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_tick" -> (crawlTick _),
     "q_crawl_lang_summary" -> (crawlLangSummary _),
@@ -340,15 +358,33 @@ object CrawlQueries {
     "q_merge_latest" -> (mergeLatest _),
     "q_replace_set" -> (replaceSet _),
     "q_merge_creation_sticky" -> (mergeCreationSticky _),
-    "q_bucketed_snapshot" -> (bucketedSnapshot _))
+    "q_bucketed_snapshot" -> (bucketedSnapshot _),
+    "q_delta_merge" -> (deltaMerge _))
 
-  private val genSql =
-    """SELECT doc_id, gen, n_chars + gen * 10 AS val,
-      |      CASE WHEN (doc_id + gen) % 4 = 0 THEN NULL
-      |           ELSE 'img_' || doc_id || '_' || gen END AS main_img,
-      |      'c' || gen AS dat_creat
-      |    FROM documents CROSS JOIN (VALUES (0), (1), (2)) v(gen)
-      |    WHERE (doc_id + gen) % 3 <> 0""".stripMargin
+  private def genSqlThrough(maxGen: Int) = {
+    val vals = (0 to maxGen).map(g => s"($g)").mkString(", ")
+    s"""SELECT doc_id, gen, n_chars + gen * 10 AS val,
+       |      CASE WHEN (doc_id + gen) % 4 = 0 THEN NULL
+       |           ELSE 'img_' || doc_id || '_' || gen END AS main_img,
+       |      'c' || gen AS dat_creat
+       |    FROM documents CROSS JOIN (VALUES $vals) v(gen)
+       |    WHERE (doc_id + gen) % 3 <> 0""".stripMargin
+  }
+  private val genSql = genSqlThrough(2)
+
+  /** The M1+M4 merge twin over generations 0..maxGen — shared by the three
+    * storage-path rows (mergedView, bucketed read-back, delta step). */
+  private def mergeTwinSql(maxGen: Int) =
+    s"""SELECT doc_id, val, main_img, dat_creat FROM (
+       |  SELECT doc_id, gen, val,
+       |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id
+       |      ORDER BY gen ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_img,
+       |    first_value(dat_creat) OVER (PARTITION BY doc_id ORDER BY gen ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dat_creat,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
+       |  FROM (${genSqlThrough(maxGen)})
+       |) WHERE rn = 1""".stripMargin
 
   /** DuckDB oracles. `__EXPORT__` is rewritten by graft.Verify to the
     * outDir holding the crawl-world exports (see [[Exports]]). */
@@ -500,29 +536,13 @@ object CrawlQueries {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
          |  FROM ($genSql)
          |) WHERE rn = 1""".stripMargin,
-    "q_merge_creation_sticky" ->
-      s"""SELECT doc_id, val, main_img, dat_creat FROM (
-         |  SELECT doc_id, gen, val,
-         |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id
-         |      ORDER BY gen ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_img,
-         |    first_value(dat_creat) OVER (PARTITION BY doc_id ORDER BY gen ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dat_creat,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
-         |  FROM ($genSql)
-         |) WHERE rn = 1""".stripMargin,
+    "q_merge_creation_sticky" -> mergeTwinSql(2),
     // identical twin to q_merge_creation_sticky BY DESIGN: the Spark side
     // routes through the bucketed-snapshot write + catalog read-back, so
     // the shared hash proves the bucketed storage path is lossless
-    "q_bucketed_snapshot" ->
-      s"""SELECT doc_id, val, main_img, dat_creat FROM (
-         |  SELECT doc_id, gen, val,
-         |    last_value(main_img IGNORE NULLS) OVER (PARTITION BY doc_id
-         |      ORDER BY gen ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS main_img,
-         |    first_value(dat_creat) OVER (PARTITION BY doc_id ORDER BY gen ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS dat_creat,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY gen DESC) AS rn
-         |  FROM ($genSql)
-         |) WHERE rn = 1""".stripMargin)
+    "q_bucketed_snapshot" -> mergeTwinSql(2),
+    // the Spark side resolves gen 3 with ONE mergeDelta step over the
+    // bucketed gens-0..2 base; the oracle re-merges the FULL 4-generation
+    // history — equality proves the telescoping step exact
+    "q_delta_merge" -> mergeTwinSql(3))
 }

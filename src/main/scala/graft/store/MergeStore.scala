@@ -149,6 +149,48 @@ object MergeStore {
     spark.table(table)
   }
 
+  /** One merge step over a resolved base — the "shuffle only the delta"
+    * operator the bucketed snapshot exists for.
+    *
+    * `base` is a RESOLVED table (every key once, creation/sticky already
+    * applied — a [[mergedView]] or a [[snapshotBucketed]] read-back);
+    * `delta` is ONE newer ingest generation (unique per key). The merge is
+    * a single full-outer join with per-column resolution:
+    *
+    *  - plain columns: the delta row wins WHEN PRESENT, null included
+    *    (keep-latest takes the latest generation's value as-is);
+    *  - sticky columns (M1): delta non-null wins, else the base's
+    *    resolved value — `last(ignoreNulls)` telescopes;
+    *  - creation columns (M4): the base's value wins when the key existed,
+    *    null included — `first()` telescopes.
+    *
+    * Telescoping is exact: mergeDelta(mergedView(g0..gk), g(k+1)) ≡
+    * mergedView(g0..g(k+1)) (BucketedStoreSpec asserts it row-for-row).
+    * Over a bucketed snapshot the join plans with the base side
+    * EXCHANGE-FREE — only the delta shuffles (into the base's bucket
+    * partitioning), so per-tick merge cost is O(delta), not O(store).
+    * Key columns must be non-null (doc keys are) — presence tests ride
+    * the join's null extension. */
+  def mergeDelta(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                 creationCols: Seq[String] = Nil,
+                 stickyCols: Seq[String] = Nil): DataFrame = {
+    val valueCols = base.columns.filterNot(keys.contains).toSeq
+    val cond = keys.map(k => col(s"b.$k") === col(s"d.$k")).reduce(_ && _)
+    val inDelta = keys.map(k => col(s"d.$k").isNotNull).reduce(_ && _)
+    val inBase = keys.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    val keyOut = keys.map(k => coalesce(col(s"b.$k"), col(s"d.$k")).as(k))
+    val valOut = valueCols.map { c =>
+      if (creationCols.contains(c))
+        when(inBase, col(s"b.$c")).otherwise(col(s"d.$c")).as(c)
+      else if (stickyCols.contains(c))
+        coalesce(col(s"d.$c"), col(s"b.$c")).as(c)
+      else
+        when(inDelta, col(s"d.$c")).otherwise(col(s"b.$c")).as(c)
+    }
+    base.as("b").join(delta.as("d"), cond, "full_outer")
+      .select(keyOut ++ valOut: _*)
+  }
+
   private def rm(f: java.io.File): Unit = if (f.exists) {
     if (f.isDirectory) f.listFiles().foreach(rm)
     f.delete()

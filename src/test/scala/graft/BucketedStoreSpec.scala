@@ -101,6 +101,38 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(q.count() == 600)
   }
 
+  test("delta merge telescopes over the snapshot and shuffles ONLY the delta") {
+    val d2 = fresh()
+    def g(gen: Int, lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, if (i % 3 == 0) "fr" else "en",
+        s"t$i-g$gen", s"c$i-g$gen",
+        if ((i + gen) % 4 == 0) null else s"img$i-g$gen"))
+        .toDF("id", "lang", "title", "dat_creat", "main_image")
+    MergeStore.ingest(g(0, 0, 300), d2)
+    MergeStore.ingest(g(1, 100, 400), d2)
+    MergeStore.ingest(g(2, 250, 500), d2)
+    val base = MergeStore.snapshotBucketed(spark, d2, "pages_delta_base", 8,
+      keys, creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    val delta = g(3, 350, 650) // updates 350..500, fresh inserts 500..650
+    MergeStore.ingest(delta, d2)
+
+    // telescoping: one delta step over the resolved base ≡ the full
+    // 4-generation merge (creation, sticky, and latest-wins-with-null)
+    val expect = MergeStore.mergedView(spark, d2, keys,
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    val got = MergeStore.mergeDelta(base, delta, keys,
+      creationCols = Seq("dat_creat"), stickyCols = Seq("main_image"))
+    assert(rows(got) == rows(expect))
+    assert(got.count() == 650)
+
+    // plan: the bucketed base side is EXCHANGE-FREE; the single exchange
+    // is the delta shuffling into the base's bucket partitioning —
+    // per-tick merge cost is O(delta), not O(store)
+    val p = got.queryExecution.explainString(FormattedMode)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(exchanges(got) == 1, p)
+  }
+
   test("re-snapshot after a new generation replaces the table in place") {
     MergeStore.ingest(Seq((0L, "fr", "t0-g3", "c-new", null: String))
       .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
