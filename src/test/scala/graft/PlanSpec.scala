@@ -111,6 +111,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected ONE exchange, got $exchanges:\n$p")
   }
 
+  test("delta merge shuffles only the delta: full-outer SMJ, one exchange") {
+    // the bucketed gens-0..2 base side is exchange-free; the single
+    // exchange is generation 3 shuffling into the base's buckets
+    val p = plan("q_delta_merge")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"expected ONE exchange (the delta), got $exchanges:\n$p")
+  }
+
   test("replace-set resolves three generation legs on one doc_id exchange") {
     // the union of generation legs is narrow; the keep-latest window's
     // hash(doc_id) exchange is the ONLY shuffle — posexplode stays local
