@@ -551,6 +551,38 @@ object Crawl {
       .as[Doc]
   }
 
+  /** Compact the consolidated docs view into a doc_id-bucketed table (the
+    * store-side twin of [[graft.store.MergeStore.snapshotBucketed]]).
+    *
+    * [[docsView]]'s keep-newest window re-shuffles every page row ever
+    * crawled each time it runs; at a 10^10-URL store that is an O(store)
+    * shuffle per consumer. After one bucketed compaction the consolidated
+    * docs table reads with `HashPartitioning(doc_id, numBuckets)` straight
+    * off the scan, so doc-keyed joins/windows/aggs over it plan
+    * EXCHANGE-FREE, and a later tick's fresh pages fold in as one
+    * O(delta) [[graft.store.MergeStore.mergeDelta]] step instead of a
+    * store-wide re-window (BucketedStoreSpec pins both). `numBuckets`
+    * sizes as store bytes / target file size, fixed per table so
+    * successive compactions stay join-compatible. */
+  def compactDocs(spark: SparkSession, workDir: String, table: String,
+                  numBuckets: Int): Dataset[Doc] = {
+    import spark.implicits._
+    val path = new java.io.File(s"$workDir/docs_bucketed")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    def rm(f: java.io.File): Unit = if (f.exists) {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(path)
+    docsView(spark, workDir)
+      .write.format("parquet")
+      .option("path", path.getPath)
+      .bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
+    spark.table(table).as[Doc]
+  }
+
   final case class SectionRow(display_order: Int, title: String)
 
   final case class FetchedRow(

@@ -133,6 +133,24 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(exchanges(got) == 1, p)
   }
 
+  test("crawl docs compaction: bucketed docs table ≡ docsView; doc-keyed agg exchange-free") {
+    import graft.crawl.Crawl
+    import graft.crawl.Crawl.CrawlConfig
+    val work = fresh()
+    Crawl.run(spark, CrawlConfig(seed = 42L, nEntities = 250L,
+      budgetPerHost = 24, saltBuckets = 4, maxTicks = 40, workDir = work))
+    val docs = Crawl.compactDocs(spark, work, "docs_bucketed_t", 8)
+    val expect = Crawl.docsView(spark, work).collect().map(d => (d.doc_id, d.spans)).toSet
+    assert(docs.collect().map(d => (d.doc_id, d.spans)).toSet == expect)
+    assert(expect.nonEmpty)
+    // the compacted table's doc-keyed consumers plan exchange-free
+    val agg = spark.table("docs_bucketed_t")
+      .select($"doc_id", explode($"spans").as("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    assert(exchanges(agg) == 0,
+      agg.queryExecution.explainString(FormattedMode))
+  }
+
   test("re-snapshot after a new generation replaces the table in place") {
     MergeStore.ingest(Seq((0L, "fr", "t0-g3", "c-new", null: String))
       .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
