@@ -234,11 +234,13 @@ object Crawl {
       .getOrElse(graft.dedup.BloomSeen.build(
         seen.as[String], cfg.effectiveBloomCapacity, cfg.bloomFpp))
     val bc = spark.sparkContext.broadcast(bloom)
-    // probe the broadcast filter as a COLUMN (one udf over url, codegen'd
-    // scan) rather than two typed filters that would each deserialize the
-    // full CrawlUnit object per row
-    val bloomHit = udf((url: String) => bc.value.mightContainString(url))
-    val tagged = units.withColumn("__hit", bloomHit($"url"))
+    // probe the broadcast filter as a COLUMN rather than two typed filters
+    // that would each deserialize the full CrawlUnit object per row — and
+    // as a native codegen expression rather than a UDF: the probe hashes
+    // the url's UTF-8 bytes straight off the internal row (same bits the
+    // sketch hashes for a java String), no per-row String allocation
+    val tagged = units.withColumn("__hit",
+      graft.functions.BloomProbe.probe($"url", bc))
     val definitelyNew = tagged.filter(!$"__hit").drop("__hit").as[CrawlUnit]
     val suspected = tagged.filter($"__hit").drop("__hit").as[CrawlUnit]
     val confirmedNew = suspected.join(seen, Seq("url"), "left_anti").as[CrawlUnit]

@@ -91,6 +91,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native BloomProbe expression ≡ mightContainString, codegen and interpreted") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val inserted = Seq("https://en.wikipedia.org/wiki/Q1",
+      "https://fr.wikipedia.org/wiki/%C3%89t%C3%A9", // percent-escapes
+      "https://ja.wikipedia.org/wiki/東京",            // multi-byte UTF-8
+      "plain", "")
+    val bf = BloomFilter.create(1024, 0.01)
+    inserted.foreach(bf.putString)
+    val probes: Seq[String] =
+      inserted ++ Seq("https://en.wikipedia.org/wiki/Q2", "東京", null)
+    val bc = spark.sparkContext.broadcast(bf)
+    val df = probes.toDF("url")
+    val expect = probes.map(u => if (u == null) null else bf.mightContainString(u))
+    def run(): Seq[Any] = df
+      .select($"url", graft.functions.BloomProbe.probe($"url", bc).as("hit"))
+      .collect().toSeq
+      .map(r => if (r.isNullAt(1)) null else r.getBoolean(1))
+    assert(run() == expect) // whole-stage codegen path (default on)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == expect) // interpreted nullSafeEval path
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("salt buckets are stable and partition each host's urls completely") {
     forAll(genUrl, Gen.chooseNum(1, 16)) { (u, s) =>
       val b = OracleCrawler.saltOf(u, s)
