@@ -582,7 +582,41 @@ object Crawl {
       .bucketBy(numBuckets, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(table)
+    // watermark: the highest tick folded into this compaction, so a later
+    // incremental read knows where the delta starts
+    val wm = new java.io.File(s"$workDir/pages").listFiles()
+      .map(_.getName).filter(_.startsWith("tick="))
+      .map(_.stripPrefix("tick=").toInt).max
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$workDir/docs_bucketed.wm"), wm.toString)
     spark.table(table).as[Doc]
+  }
+
+  /** The consolidated docs view as [base compaction] + [O(delta) fold] —
+    * what [[docsView]] becomes once the store outgrows a per-read window.
+    *
+    * Reads ONLY the page partitions newer than the compaction watermark
+    * (partition pruning on `tick` — the delta scan never touches compacted
+    * ticks), keep-newest-windows that delta alone, and folds it over the
+    * bucketed base with one [[graft.store.MergeStore.mergeDelta]]
+    * full-outer step (base side exchange-free). Row-set ≡ [[docsView]]
+    * over the full store — BucketedStoreSpec asserts it across a real
+    * compact-mid-crawl + resume, and pins the plan (bucketed base scan,
+    * pruned delta scan, exchanges on the delta only). */
+  def docsViewIncremental(spark: SparkSession, workDir: String,
+                          table: String): Dataset[Doc] = {
+    import spark.implicits._
+    val wm = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workDir/docs_bucketed.wm")).trim.toInt
+    val w = Window.partitionBy($"doc_id").orderBy($"tick".desc)
+    val delta = spark.read.parquet(s"$workDir/pages")
+      .filter($"tick" > wm && $"hasContent")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"spans")
+    graft.store.MergeStore
+      .mergeDelta(spark.table(table), delta, Seq("doc_id"))
+      .as[Doc]
   }
 
   final case class SectionRow(display_order: Int, title: String)

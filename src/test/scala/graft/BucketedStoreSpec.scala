@@ -151,6 +151,36 @@ class BucketedStoreSpec extends AnyFunSuite {
       agg.queryExecution.explainString(FormattedMode))
   }
 
+  test("incremental docs view: compact mid-crawl, fold later ticks as O(delta)") {
+    import graft.crawl.Crawl
+    import graft.crawl.Crawl.CrawlConfig
+    val work = fresh()
+    val cfg = CrawlConfig(seed = 42L, nEntities = 250L,
+      budgetPerHost = 24, saltBuckets = 4, maxTicks = 2, workDir = work)
+    Crawl.run(spark, cfg)
+    val base = Crawl.compactDocs(spark, work, "docs_inc_t", 8)
+    val baseCount = base.count()
+    Crawl.run(spark, cfg.copy(maxTicks = 40)) // resume completes the crawl
+
+    val inc = Crawl.docsViewIncremental(spark, work, "docs_inc_t")
+    // plan captured BEFORE execution: a ran AQE plan prints Final+Initial
+    // and would double-count exchanges
+    val p = inc.toDF.queryExecution.explainString(FormattedMode)
+    val full = Crawl.docsView(spark, work)
+    assert(inc.collect().map(d => (d.doc_id, d.spans)).toSet ==
+      full.collect().map(d => (d.doc_id, d.spans)).toSet)
+    assert(inc.count() > baseCount) // the resume really added docs
+    // the base side reads the bucketed table (no exchange to re-cluster it)
+    assert(p.contains("Bucketed: true"), p)
+    // the delta scan prunes to post-watermark tick partitions only
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("tick")), p)
+    // every exchange belongs to the delta leg (its window + the fold's
+    // re-cluster into the base's buckets); the base never shuffles
+    val ex = p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(ex <= 2, s"expected at most 2 delta-side exchanges, got $ex:\n$p")
+  }
+
   test("re-snapshot after a new generation replaces the table in place") {
     MergeStore.ingest(Seq((0L, "fr", "t0-g3", "c-new", null: String))
       .toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
