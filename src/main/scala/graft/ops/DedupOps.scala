@@ -148,6 +148,17 @@ object DedupOps {
     * wider net (probabilistic recall, sbt-measured). */
   def simhashDedup(spark: SparkSession, dir: String,
                    maxDist: Int = 3): DataFrame = {
+    val (banded, planned) = simhashDedupPlanned(spark, dir, maxDist)
+    val out = detachSmall(planned)
+    banded.unpersist()
+    out
+  }
+
+  /** The un-detached (kernel cache, pair plan) — [[simhashDedup]] body,
+    * exposed so plan tooling can inspect the candidate-join plan (the
+    * detached public result is a local relation). Caller unpersists. */
+  private[graft] def simhashDedupPlanned(
+      spark: SparkSession, dir: String, maxDist: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     // persist: the O(text) simhash kernel feeds BOTH sides of the
     // band self-join — same discipline as minhashPairs' sigs
@@ -156,14 +167,13 @@ object DedupOps {
         Sigs.simhashBands(sim).map(bk => (id, sim, bk)) }
       .toDF("doc_id", "sim", "bandKey")
       .persist()
-    val out = detachSmall(banded.as("a").join(banded.as("b"), Seq("bandKey"))
+    val out = banded.as("a").join(banded.as("b"), Seq("bandKey"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         bit_count($"a.sim".bitwiseXOR($"b.sim")).as("dist"))
       .distinct()
-      .filter($"dist" <= maxDist))
-    banded.unpersist()
-    out
+      .filter($"dist" <= maxDist)
+    (banded, out)
   }
 
   /** The per-doc SimHash signatures — shared by [[simhashDedup]] and the
@@ -189,6 +199,17 @@ object DedupOps {
     * would recompute for a branch that only needs the prefix. */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
+    val (docs, planned) = ngramJaccardPlanned(spark, dir, threshold, maxDf)
+    val out = detachSmall(planned)
+    docs.unpersist()
+    out
+  }
+
+  /** The un-detached (kernel cache, pair plan) — [[ngramJaccard]] body,
+    * exposed for plan tooling. Caller unpersists. */
+  private[graft] def ngramJaccardPlanned(
+      spark: SparkSession, dir: String, threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val keptBlks = t(spark, dir, "documents")
       .groupBy(substring($"text", 1, 20).as("blk"))
@@ -204,13 +225,11 @@ object DedupOps {
       .toDF("doc_id", "blk", "sh")
       .join(keptBlks, Seq("blk"), "left_semi")
       .persist()
-    val out = detachSmall(
-      withJaccard(docs.as("a").join(docs.as("b"), Seq("blk"))
-        .filter($"a.doc_id" < $"b.doc_id"), $"a.sh", $"b.sh")
-        .filter($"jaccard" >= threshold)
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard"))
-    docs.unpersist()
-    out
+    val out = withJaccard(docs.as("a").join(docs.as("b"), Seq("blk"))
+      .filter($"a.doc_id" < $"b.doc_id"), $"a.sh", $"b.sh")
+      .filter($"jaccard" >= threshold)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"jaccard")
+    (docs, out)
   }
 
   /** Planted-copy id offset for [[embeddingNearDup]] (kept far above any
@@ -255,6 +274,17 @@ object DedupOps {
     * ring and keeps the one equi-join shuffle.) */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        nBits: Int = 0, threshold: Double = 0.9): DataFrame = {
+    val (emb, planned) = embeddingNearDupPlanned(spark, dir, nBits, threshold)
+    val out = detachSmall(planned)
+    emb.unpersist()
+    out
+  }
+
+  /** The un-detached (kernel cache, pair plan) — [[embeddingNearDup]] body,
+    * exposed for plan tooling. Caller unpersists. */
+  private[graft] def embeddingNearDupPlanned(
+      spark: SparkSession, dir: String, nBits: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     val derived = nearDupDerived(spark, dir)
     val bits = if (nBits > 0) nBits
@@ -271,14 +301,13 @@ object DedupOps {
       .toDF("vec_id", "v", "bucket")
       .withColumn("nrm", AnnOps.norm($"v"))
       .persist()
-    val out = detachSmall(emb.as("a").join(emb.as("b"), Seq("bucket"))
+    val out = emb.as("a").join(emb.as("b"), Seq("bucket"))
       .filter($"a.vec_id" < $"b.vec_id")
       .withColumn("cos",
         round(AnnOps.cosineHoisted($"a.v", $"b.v", $"a.nrm", $"b.nrm"), 6))
       .filter($"cos" >= threshold)
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos"))
-    emb.unpersist()
-    out
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"cos")
+    (emb, out)
   }
 
   /** q_winnow_dedup — near-dup pairs by winnowing fingerprints
@@ -306,6 +335,18 @@ object DedupOps {
   def winnowPairs(spark: SparkSession, dir: String,
                   k: Int = 24, w: Int = 16, minShared: Int = 1,
                   maxDf: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val (sigs, planned) =
+      winnowPairsPlanned(spark, dir, k, w, minShared, maxDf, threshold)
+    val out = detachSmall(planned)
+    sigs.unpersist()
+    out
+  }
+
+  /** The un-detached (kernel cache, pair plan) — [[winnowPairs]] body,
+    * exposed for plan tooling. Caller unpersists. */
+  private[graft] def winnowPairsPlanned(
+      spark: SparkSession, dir: String, k: Int, w: Int, minShared: Int,
+      maxDf: Int, threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     // k = 24 chars (~4 vocab words): long enough that unrelated docs over
     // a small vocabulary rarely share a k-gram; shared runs ≥ w+k-1 = 39
@@ -332,14 +373,13 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
       .select($"doc_a", $"doc_b")
-    val out = detachSmall(withJaccard(cand
+    val out = withJaccard(cand
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b")),
       $"sh_a", $"sh_b")
       .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard"))
-    sigs.unpersist()
-    out
+      .select($"doc_a", $"doc_b", $"jaccard")
+    (sigs, out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

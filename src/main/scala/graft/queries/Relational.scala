@@ -51,27 +51,43 @@ object Relational {
   }
 
   /** J2 window rewrite — the 20-family precedence chain collapsed to ONE
-    * shuffle: row_number over (key, precedence order) keep-first, replacing
-    * 19 chained NOT IN anti-joins (SURVEY.md §2.3 J2). */
-  def precedenceDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    * shuffle: keep-first per key in precedence order, replacing 19 chained
+    * NOT IN anti-joins (SURVEY.md §2.3 J2).
+    *
+    * r6 optimization (guide §2.3 "aggregate before you shuffle"): the
+    * row_number window (Sort → WindowGroupLimit → Exchange → Sort → Window)
+    * becomes ONE hash aggregation — min over struct(ts, event_id,
+    * event_type) is the lexicographically-first row under EXACTLY the old
+    * window order (ts asc, event_id asc; event_id is unique in the events
+    * table — RelationalSpec pins it — so the event_type field is never
+    * reached as a comparator). Partial map-side min collapses each
+    * partition to ≤ |users| rows BEFORE the exchange and both sorts
+    * disappear; result is row-identical (same DuckDB oracle). */
+  def precedenceDedup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id", $"event_type")
-  }
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id", $"event_type")).as("__first"))
+      .select($"user_id", $"__first.event_id".as("event_id"),
+        $"__first.event_type".as("event_type"))
 
   /** J6/W3 — keep-newest-per-key dedup
-    * (migrations/add_unique_section_image_keys.py:115-141): row_number
-    * descending replaces the reference's self-join against MAX(ID_ROW). */
-  def keepLatest(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy($"l_orderkey")
-      .orderBy($"l_linenumber".desc, $"l_partkey".desc, $"l_suppkey".desc)
+    * (migrations/add_unique_section_image_keys.py:115-141): keep-newest
+    * replaces the reference's self-join against MAX(ID_ROW).
+    *
+    * r6 optimization (guide §2.3): the row_number-desc window becomes ONE
+    * hash aggregation — max over struct(l_linenumber, l_partkey,
+    * l_suppkey) selects the lexicographic max, which is exactly the rn=1
+    * row of the old (desc, desc, desc) window; the projection only reads
+    * the sort columns, so even a full three-way tie projects identically.
+    * The old plan locally sorted all 600k rows, shuffled the per-partition
+    * survivors, and sorted again; the agg shuffles only map-side partial
+    * maxima (≤ |keys| rows per map task) and never sorts. */
+  def keepLatest(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-  }
+      .groupBy($"l_orderkey")
+      .agg(max(struct($"l_linenumber", $"l_partkey", $"l_suppkey")).as("__last"))
+      .select($"l_orderkey", $"__last.l_linenumber".as("l_linenumber"),
+        $"__last.l_partkey".as("l_partkey"))
 
   /** A1 — shared-image frequency aggregation
     * (migrations/clear_shared_main_images.py:78-93):

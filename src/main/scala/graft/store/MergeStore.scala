@@ -57,6 +57,34 @@ object MergeStore {
                  stickyCols: Seq[String] = Nil): DataFrame = {
     val all = spark.read.parquet(dir) // partition column `gen` discovered
     val keyCols = keys.map(col)
+
+    // r6 fast path (guide §2.3 "aggregate before you shuffle"): the plain
+    // keep-latest view (no creation/sticky columns) needs no window at all
+    // — max over struct(gen, value...) is the latest generation's row (gen
+    // leads the struct and is unique per key within a store, the ingest
+    // contract; the value fields are never reached as comparators). The
+    // window plan locally sorted the full store, shuffled it, and sorted
+    // again; the aggregation shuffles only map-side partial maxima and
+    // never sorts. Output columns/rows identical (same DuckDB oracle).
+    // Guarded on orderable value types — max(struct) needs an ordering.
+    import org.apache.spark.sql.types._
+    def orderable(dt: DataType): Boolean = dt match {
+      case a: ArrayType => orderable(a.elementType)
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case _: NumericType | _: StringType | _: BooleanType | _: BinaryType |
+           _: DateType | _: TimestampType | _: TimestampNTZType | _: NullType => true
+      case _ => false
+    }
+    val valueFields = all.schema.fields.filterNot(f => keys.contains(f.name) || f.name == "gen")
+    if (creationCols.isEmpty && stickyCols.isEmpty &&
+        valueFields.forall(f => orderable(f.dataType))) {
+      val packed = struct(col("gen") +: valueFields.map(f => col(f.name)): _*)
+      return all.groupBy(keyCols: _*)
+        .agg(max(packed).as("__latest"))
+        .select(all.columns.filterNot(_ == "gen").map(c =>
+          if (keys.contains(c)) col(c) else col(s"__latest.$c").as(c)): _*)
+    }
+
     val wLatest = Window.partitionBy(keyCols: _*).orderBy(col("gen").desc)
     val wAll = Window.partitionBy(keyCols: _*)
       .orderBy(col("gen").asc)

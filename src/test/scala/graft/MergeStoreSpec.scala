@@ -42,6 +42,29 @@ class MergeStoreSpec extends AnyFunSuite {
       (3L, "fr", "t3", "g1", null)))
   }
 
+  test("keys-only merged view (r6 agg fast path) equals the window form") {
+    val dir = fresh()
+    MergeStore.ingest(Seq(
+      (1L, "en", "t1", "g0", "img0"),
+      (2L, "en", "t2", "g0", null)
+    ).toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    MergeStore.ingest(Seq(
+      (1L, "en", "t1b", "g1", null),
+      (3L, "fr", "t3", "g1", "img3")
+    ).toDF("id", "lang", "title", "dat_creat", "main_image"), dir)
+    val fast = MergeStore.mergedView(spark, dir, keys)
+    // the window form the fast path replaced, recomputed inline
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"), col("lang")).orderBy(col("gen").desc)
+    val windowForm = spark.read.parquet(dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "gen")
+    assert(fast.columns.toSeq == windowForm.columns.toSeq)
+    assert(fast.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(fast).isEmpty)
+  }
+
   test("re-ingesting the same batch is a no-op (idempotence) and keys unique") {
     val dir = fresh()
     val batch = Seq((1L, "en", "a", "g0", "i"), (2L, "fr", "b", "g0", null))

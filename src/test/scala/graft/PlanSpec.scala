@@ -68,9 +68,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pub.contains("LocalTableScan"), s"expected detached result:\n$pub")
   }
 
-  test("precedence dedup pushes the rank limit below the shuffle") {
+  test("precedence dedup is a partial-aggregated min, not a window") {
+    // r6: keep-first rewritten as min(struct(...)) — partial aggregation
+    // below the exchange (struct min/max buffers plan as SortAggregate;
+    // the partial side still collapses each map partition to ≤|keys| rows
+    // before the shuffle), no Window machinery anywhere
     val p = plan("q_precedence_dedup")
-    assert(p.contains("WindowGroupLimit"), p)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), s"expected no window:\n$p")
+  }
+
+  test("keep-latest is a partial-aggregated max, not a window") {
+    val p = plan("q_keep_latest")
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), s"expected no window:\n$p")
+  }
+
+  test("keys-only merged view is a partial-aggregated max, not a window") {
+    val p = plan("q_merge_latest")
+    assert("Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), s"expected no window:\n$p")
   }
 
   test("q1_agg does partial aggregation before its single exchange") {

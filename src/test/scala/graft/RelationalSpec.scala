@@ -38,6 +38,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(df.groupBy("l_orderkey").count().filter(col("count") > 1).count() == 0)
   }
 
+  // ---- r6 agg rewrites: the partial-agg forms must equal the window forms
+  // they replaced, row for row (the focused internals-change tests) --------
+
+  test("events.event_id is unique (precedence-dedup tiebreak invariant)") {
+    // min(struct(ts, event_id, event_type)) equals the old row_number
+    // window exactly because (ts, event_id) is a total order per user —
+    // pinned here so a future data change cannot silently weaken it
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(ev.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("precedence dedup (agg form) equals the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val windowForm = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val aggForm = SparkEntry.queries("q_precedence_dedup")(spark, sf0001)
+    assert(aggForm.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(aggForm).isEmpty)
+  }
+
+  test("keep_latest (agg form) equals the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_partkey").desc,
+        col("l_suppkey").desc)
+    val windowForm = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val aggForm = SparkEntry.queries("q_keep_latest")(spark, sf0001)
+    assert(aggForm.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(aggForm).isEmpty)
+  }
+
   test("topk is 10 rows in strict descending order") {
     val v = SparkEntry.queries("q_topk")(spark, sf0001)
       .collect().map(_.getAs[Double]("o_totalprice"))
