@@ -18,8 +18,19 @@ import graft.queries.Tables.t
   */
 object AnnOps {
 
-  /** Dot product of two float-array columns, in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float/double-array columns, in double precision.
+    *
+    * r6: the HOF form (`aggregate(zip_with(...))`) evaluated its lambda
+    * INTERPRETED per element and blocked whole-stage codegen — and this
+    * expression runs once per scored candidate PAIR, the hottest kernel in
+    * the ANN/embedding operators. [[graft.functions.DotProduct]] is the
+    * codegen'd replacement: same left-to-right double accumulation, same
+    * float→double widening, bit-identical results (OpsSpec pins HOF ≡
+    * native on real embeddings; the DuckDB oracles are unchanged). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** The pre-r6 HOF formulation, kept as the equivalence witness for tests. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

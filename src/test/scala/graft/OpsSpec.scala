@@ -233,6 +233,43 @@ class OpsSpec extends AnyFunSuite {
       s"leaked cached RDDs: ${after -- before}")
   }
 
+  test("native codegen dot product is BIT-identical to the HOF form (r6)") {
+    // float arrays (the ANN base tables)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val qf = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val pairsF = emb.crossJoin(qf)
+      .select(
+        AnnOps.dot($"embedding", $"qv").as("native"),
+        AnnOps.dotHof($"embedding", $"qv").as("hof"))
+      .collect()
+    assert(pairsF.nonEmpty)
+    pairsF.foreach { r =>
+      // bit-identical, not approximately equal: same fold order, same
+      // float->double widening
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // double arrays (the derived near-dup table) + the norm path
+    val dd = DedupOps.nearDupDerived(spark, sf0001).limit(64)
+      .select(
+        AnnOps.dot($"v", $"v").as("native"),
+        AnnOps.dotHof($"v", $"v").as("hof"))
+      .collect()
+    dd.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null semantics mirror the HOF form: mismatched lengths -> null
+    val odd = Seq((Seq(1.0f, 2.0f), Seq(1.0f)), (null, Seq(1.0f)))
+      .toDF("a", "b")
+      .select(AnnOps.dot($"a", $"b").as("native"),
+        AnnOps.dotHof($"a", $"b").as("hof"))
+      .collect()
+    odd.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("exact dedup groups partition the table") {
     val df = DedupOps.exactDedup(spark, sf0001)
     val total = df.agg(sum($"group_size")).head.getLong(0)
