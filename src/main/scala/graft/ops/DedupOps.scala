@@ -109,11 +109,15 @@ object DedupOps {
     // BOTH sides of the verify join reuse it. (Previously the shingle set
     // was recomputed 3× per doc — once for the signature, once per verify
     // side; at 10^10 docs the shingling IS the dominant CPU cost.)
+    // r6: the cached/joined shingle set is the HASH set (Sigs.shingleHashes
+    // — the same hashStr values the MinHash signature already consumed), so
+    // the verify join ships longs, not strings; signatures and candidates
+    // are bit-identical, Jaccard equal by corpus-wide injectivity (OpsSpec).
     val sigs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, tx) =>
-        val sh = Sigs.shingles(tx).sorted
-        (id, sh, Sigs.bands(Sigs.minhashOfShingles(sh, b * r), b, r)) }
+        val hs = Sigs.shingleHashes(tx).sorted
+        (id, hs, Sigs.bands(Sigs.minhashOfHashes(hs, b * r), b, r)) }
       .toDF("doc_id", "sh", "bandKeys")
       .persist()
 
@@ -221,7 +225,9 @@ object DedupOps {
     // frame to kept blocks, so the cache holds only joinable rows
     val docs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, tx) => (id, tx.take(20), Sigs.shingles(tx).sorted) }
+      // r6: hashed shingle set — longs through the cache and the block
+      // self-join instead of strings (see Sigs.shingleHashes)
+      .map { case (id, tx) => (id, tx.take(20), Sigs.shingleHashes(tx).sorted) }
       .toDF("doc_id", "blk", "sh")
       .join(keptBlks, Seq("blk"), "left_semi")
       .persist()
@@ -355,8 +361,10 @@ object DedupOps {
     // minhashPairs).
     val sigs = t(spark, dir, "documents")
       .select($"doc_id", $"text").as[(Long, String)]
+      // r6: hashed shingle set — longs through the cache and both verify
+      // joins instead of strings (see Sigs.shingleHashes)
       .map { case (id, tx) =>
-        (id, Sigs.shingles(tx).sorted, Sigs.winnow(tx, k, w)) }
+        (id, Sigs.shingleHashes(tx).sorted, Sigs.winnow(tx, k, w)) }
       .toDF("doc_id", "sh", "prints")
       .persist()
     val inv = sigs.select($"doc_id", explode($"prints").as("fp"))

@@ -31,15 +31,33 @@ object Sigs {
   /** MinHash over an already-computed shingle set — lets callers compute
     * shingles ONCE per doc and reuse them for both banding and the exact
     * Jaccard verify (was: 3 shingle passes per doc per query). */
-  def minhashOfShingles(sh: Array[String], k: Int): Array[Long] = {
-    val hs = sh.map(hashStr)
+  def minhashOfShingles(sh: Array[String], k: Int): Array[Long] =
+    minhashOfHashes(sh.map(hashStr), k)
+
+  /** MinHash over pre-hashed shingles ([[shingleHashes]]) — identical
+    * values to [[minhashOfShingles]] (it IS that function's inner loop:
+    * same hashStr stream, same mix fold). */
+  def minhashOfHashes(hs: Array[Long], k: Int): Array[Long] =
     Array.tabulate(k) { i =>
       var m = Long.MaxValue
       var j = 0
       while (j < hs.length) { val v = mix(hs(j), i.toLong); if (v < m) m = v; j += 1 }
       if (hs.isEmpty) mix(0L, i.toLong) else m
     }
-  }
+
+  /** The shingle set as 64-bit hashes (hashStr per distinct shingle) — the
+    * r6 shuffle-narrowing representation (guide §2.3 "narrower types"):
+    * the dedup operators cache the per-doc shingle set and join it to BOTH
+    * sides of every candidate pair, so carrying ~8 bytes per shingle
+    * instead of a ~20-char string cuts the verify-join payload ~5× and
+    * makes the per-pair array_intersect a primitive-long probe. Jaccard
+    * over the hash sets equals Jaccard over the string sets as long as
+    * hashStr is injective on the corpus' shingles — pinned corpus-wide by
+    * OpsSpec (distinct shingles == distinct hashes) and by the unchanged
+    * string-based DuckDB oracles; a 64-bit space makes a collision at any
+    * real corpus size a ~n²/2⁶⁴ event. */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] =
+    shingles(text, n).map(hashStr)
 
   /** LSH band keys over a signature: b bands × r rows. */
   def bands(sig: Array[Long], b: Int, r: Int): Array[Long] =

@@ -233,6 +233,26 @@ class OpsSpec extends AnyFunSuite {
       s"leaked cached RDDs: ${after -- before}")
   }
 
+  test("shingle hashing is injective corpus-wide (r6 hash-set Jaccard)") {
+    // Jaccard over Sigs.shingleHashes equals Jaccard over the string
+    // shingle sets iff hashStr is injective on the corpus' shingles; pin
+    // it at the largest local SF so the swap can never silently change a
+    // pair's jaccard (the string-based brute-force tests and the DuckDB
+    // oracles re-assert the same thing end-to-end)
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select($"text").as[String].collect()
+      val strings = scala.collection.mutable.HashSet.empty[String]
+      val hashes = scala.collection.mutable.HashSet.empty[Long]
+      texts.foreach { tx =>
+        Sigs.shingles(tx).foreach(strings += _)
+        Sigs.shingleHashes(tx).foreach(hashes += _)
+      }
+      assert(strings.size == hashes.size,
+        s"$sf: ${strings.size} distinct shingles vs ${hashes.size} hashes")
+    }
+  }
+
   test("native codegen dot product is BIT-identical to the HOF form (r6)") {
     // float arrays (the ANN base tables)
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
