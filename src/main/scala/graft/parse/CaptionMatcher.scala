@@ -40,14 +40,20 @@ object CaptionMatcher {
     * form rescanned the full DOM per filename, which dominated fetch CPU
     * (gallery of g images over an n-node page = O(g·n)). */
   final class PageIndex private[CaptionMatcher] (val root: Node) {
-    private[CaptionMatcher] val imgs: Vector[(Node, String, String, String)] =
-      root.descendants.filter(_.tag == "img").map { n =>
-        val wrappedHref = n.ancestors
-          .find(a => a.tag == "a" && a.classes.contains("mw-file-description"))
-          .map(a => softDecode(a.attrs.getOrElse("href", "")))
-          .orNull
-        (n, wrappedHref, n.attrs.getOrElse("src", ""), n.attrs.getOrElse("alt", ""))
-      }.toVector
+    private[CaptionMatcher] val imgs: Vector[(Node, String, String, String)] = {
+      val buf = Vector.newBuilder[(Node, String, String, String)]
+      root.foreachDescendant { n =>
+        if (n.tag == "img") {
+          val wrappedHref = n.ancestors
+            .find(a => a.tag == "a" && a.classes.contains("mw-file-description"))
+            .map(a => softDecode(a.attrs.getOrElse("href", "")))
+            .orNull
+          buf += ((n, wrappedHref, n.attrs.getOrElse("src", ""),
+            n.attrs.getOrElse("alt", "")))
+        }
+      }
+      buf.result()
+    }
 
     /** The reference's matches_img over imgs in document order: a wrapped
       * img matches by decoded-href suffix; an unwrapped one by src/alt

@@ -28,18 +28,54 @@ object MiniDom {
     def descendants: Iterator[Node] =
       children.iterator.flatMap(c => Iterator.single(c) ++ c.descendants)
 
-    def findFirst(p: Node => Boolean): Option[Node] =
-      descendants.find(n => n.isElement && p(n))
+    /** Pre-order descendant walk without the iterator-concat churn of
+      * [[descendants]] (r6: the recursive `++`/flatMap chain allocated an
+      * iterator wrapper per node; these walks run on every fetched page). */
+    def foreachDescendant(f: Node => Unit): Unit = {
+      var i = 0
+      val cs = children
+      while (i < cs.length) {
+        val c = cs(i)
+        f(c)
+        c.foreachDescendant(f)
+        i += 1
+      }
+    }
+
+    def findFirst(p: Node => Boolean): Option[Node] = {
+      // same pre-order visit as descendants.find, early-exit, no iterators
+      var res: Node = null
+      def walk(n: Node): Boolean = {
+        var i = 0
+        val cs = n.children
+        while (i < cs.length) {
+          val c = cs(i)
+          if (c.isElement && p(c)) { res = c; return true }
+          if (walk(c)) return true
+          i += 1
+        }
+        false
+      }
+      walk(this)
+      Option(res)
+    }
 
     /** BeautifulSoup's get_text(" ", strip=True): each text string
       * stripped, empties dropped, joined with one space. Entity references
       * in text decode exactly as an HTML parser would (F8 kernel). */
-    def getTextStripped: String =
-      (Iterator.single(this) ++ descendants)
-        .filter(n => !n.isElement)
-        .map(n => graft.ops.TextOps.unescapeHtml(n.text).trim)
-        .filter(_.nonEmpty)
-        .mkString(" ")
+    def getTextStripped: String = {
+      val sb = new java.lang.StringBuilder
+      def add(n: Node): Unit = if (!n.isElement) {
+        val t = graft.ops.TextOps.unescapeHtml(n.text).trim
+        if (t.nonEmpty) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(t)
+        }
+      }
+      add(this)
+      foreachDescendant(add)
+      sb.toString
+    }
 
     /** Following siblings in document order. */
     def nextSiblings: Iterator[Node] =

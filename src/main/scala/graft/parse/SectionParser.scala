@@ -75,16 +75,18 @@ object SectionParser {
     out.result()
   }
 
-  /** helpers:151-169 `_append_block_text`. */
-  private def appendBlockText(sectionText: String, b: Block): String = b match {
+  /** helpers:151-169 `_append_block_text` (r6: appends into the section's
+    * builder — the string-concat form re-copied the accumulated section
+    * text on every block, O(section²) allocated bytes per section). */
+  private def appendBlockText(sb: java.lang.StringBuilder, b: Block): Unit = b match {
     case TextBlock(_, text) => // p / h3 / h4 all share the line rule
-      if (text.nonEmpty) sectionText + "\n" + text + " " else sectionText
+      if (text.nonEmpty) sb.append('\n').append(text).append(' ')
     case ListBlock(_, items) =>
-      items.foldLeft(sectionText) { (acc, li) =>
+      items.foreach { li =>
         // ' '.join(t.strip() for t in li.strings if t.strip()) — the
         // generator emits one text node per <li>, so this is li.strip()
         // (inner whitespace preserved, as BeautifulSoup's strings would).
-        acc + "\n- " + li.trim
+        sb.append("\n- ").append(li.trim)
       }
   }
 
@@ -111,11 +113,12 @@ object SectionParser {
 
   def extractTitlesAndText(blocks: Seq[Block]): Seq[(String, String)] = {
     val result = mutable.ArrayBuffer.empty[(String, String)]
+    val sb = new java.lang.StringBuilder(256)
 
     // Intro = everything before the first <h2>, always emitted.
-    val intro = blocks.takeWhile(_.name != "h2")
-      .foldLeft("")(appendBlockText)
-    result += (("Intro", cleanSectionText(intro)))
+    blocks.takeWhile(_.name != "h2").foreach(appendBlockText(sb, _))
+    result += (("Intro", cleanSectionText(sb.toString)))
+    sb.setLength(0)
 
     var i = blocks.indexWhere(_.name == "h2")
     while (i != -1 && i < blocks.length) {
@@ -123,24 +126,24 @@ object SectionParser {
         blocks(i).asInstanceOf[TextBlock].text.trim)
       val noSubsplit = NoSubsplitSectionTitles.contains(h2Title.toLowerCase)
       var currentTitle = h2Title // the H2 lead keeps the bare H2 title
-      var sectionText = ""
       var j = i + 1
       while (j < blocks.length && blocks(j).name != "h2") {
         val b = blocks(j)
         if (b.name == "h3" && !noSubsplit) {
           // Flush the current (sub)section and open a new composite one.
-          val cleaned = cleanSectionText(sectionText)
+          val cleaned = cleanSectionText(sb.toString)
+          sb.setLength(0)
           if (cleaned.nonEmpty) result += ((currentTitle, cleaned))
           val h3Title = normalizeHeadingSeparator(
             b.asInstanceOf[TextBlock].text.trim)
           currentTitle = if (h3Title.nonEmpty) s"$h2Title - $h3Title" else h2Title
-          sectionText = ""
         } else {
-          sectionText = appendBlockText(sectionText, b)
+          appendBlockText(sb, b)
         }
         j += 1
       }
-      val cleaned = cleanSectionText(sectionText)
+      val cleaned = cleanSectionText(sb.toString)
+      sb.setLength(0)
       if (cleaned.nonEmpty) result += ((currentTitle, cleaned))
       i = j
     }

@@ -79,11 +79,15 @@ object UiChrome {
   def matchesChrome(name: String): Boolean = {
     val stripped = thumbPrefix.matcher(name).replaceFirst("")
     val candidates = if (stripped != name) Seq(name, stripped) else Seq(name)
+    // r6: lowercase once per name — the extension gate lowercased both
+    // strings per extension probe (4 allocations per candidate)
+    val nameL = name.toLowerCase
     candidates.exists { cand =>
       suffixPatterns.exists(_.matcher(cand).find()) ||
       chromePatterns.exists(_.matcher(cand).lookingAt()) || {
+        val candL = if (cand eq name) nameL else cand.toLowerCase
         val flatGraphic = iconsetExtensions.exists(e =>
-          cand.toLowerCase.endsWith(e) || name.toLowerCase.endsWith(e))
+          candL.endsWith(e) || nameL.endsWith(e))
         flatGraphic && iconsetPatterns.exists(_.matcher(cand).lookingAt())
       }
     }

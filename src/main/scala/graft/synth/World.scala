@@ -53,6 +53,20 @@ object World {
   /** Uniform [0,1) from a hash. */
   def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
 
+  /** Zero-padded 10-digit decimal — byte-identical to f"$v%010d" for the
+    * non-negative pk range, without java.util.Formatter (r6: one Formatter
+    * + locale lookup per entity was a visible slice of candidate synthesis). */
+  private def pad10(v: Long): String = {
+    val s = java.lang.Long.toString(v)
+    if (s.length >= 10) s
+    else {
+      val sb = new java.lang.StringBuilder(10)
+      var i = s.length
+      while (i < 10) { sb.append('0'); i += 1 }
+      sb.append(s).toString
+    }
+  }
+
   // ---- static world structure ---------------------------------------------
 
   /** The 20 entity families in precedence order
@@ -87,8 +101,21 @@ object World {
     "archive", "museum", "series", "episode", "character", "novel", "stage",
     "record", "label", "journal", "letter", "estate", "garden", "bridge")
 
-  def words(h: Long, n: Int): String =
-    (0 until n).map(i => vocab(bounded(mix(h, i.toLong), vocab.length))).mkString(" ")
+  def words(h: Long, n: Int): String = {
+    // r6: direct StringBuilder fill — the Range.map built a Vector of word
+    // refs plus a second builder pass per call, and this is the single
+    // hottest allocation site of the synthetic fetch kernel (every
+    // paragraph, list item, title and caption flows through it). Output
+    // byte-identical (same picks, same single-space join).
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(bounded(mix(h, i.toLong), vocab.length)))
+      i += 1
+    }
+    sb.toString
+  }
 
   // ---- entities / frontier -------------------------------------------------
 
@@ -113,7 +140,7 @@ object World {
         case _ => ""             // empty
       }
     val fam = families(bounded(mix(h, 4L), families.length))
-    val pk = f"${Math.floorMod(mix(h, 5L), 10000000L)}%010d"
+    val pk = pad10(Math.floorMod(mix(h, 5L), 10000000L))
     val priority = bounded(mix(h, 6L), 10)
     // 1-3 sitelinks; primary lang Zipf-picked, extras uniform
     val primary = pickLang(mix(h, 7L))
@@ -131,10 +158,26 @@ object World {
 
   private val accentedWords = Vector("Café", "Vérité", "Señora", "Łódź", "Ostrava–Poruba")
 
+  /** The words(h, n) stream with each word capitalized, joined by `sep` —
+    * byte-identical to `words(h, n).split(" ").map(_.capitalize)
+    * .mkString(sep)` (vocab words are non-empty and space-free), without
+    * the split/map/join allocations (r6: every title and image name flows
+    * through this). */
+  private def capWords(h: Long, n: Int, sep: Char): String = {
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(sep)
+      val w = vocab(bounded(mix(h, i.toLong), vocab.length))
+      sb.append(Character.toUpperCase(w.charAt(0))).append(w, 1, w.length)
+      i += 1
+    }
+    sb.toString
+  }
+
   def pageTitle(entityHash: Long, lang: String): String = {
     val h = mix(entityHash, 11L, hashStr(lang))
-    val base0 = words(h, 2 + bounded(mix64(h), 3)).split(" ")
-      .map(_.capitalize).mkString(" ")
+    val base0 = capWords(h, 2 + bounded(mix64(h), 3), ' ')
     // ~4% titles carry non-ASCII (exercises F1 percent-encoding)
     val base =
       if (unit(mix(h, 15L)) < 0.04)
@@ -189,7 +232,7 @@ object World {
         case _ => ""
       }
     val fam = families(bounded(mix(h, 4L), families.length))
-    val pk = f"${Math.floorMod(mix(h, 5L), 10000000L)}%010d"
+    val pk = pad10(Math.floorMod(mix(h, 5L), 10000000L))
     val priority = bounded(mix(h, 6L), 10)
     Entity(i, qid, fam, familyRank(fam), pk, priority, Map.empty)
   }
@@ -202,7 +245,7 @@ object World {
     rows += FrontierRow(url, "www.wikidata.org", e.family, e.familyRank, e.pk, e.priority, e.qid)
     if (unit(mix(h, 1L)) < 0.10) { // duplicate entity in a second family
       val fam2 = families(bounded(mix(h, 2L), families.length))
-      val pk2 = f"${Math.floorMod(mix(h, 3L), 10000000L)}%010d"
+      val pk2 = pad10(Math.floorMod(mix(h, 3L), 10000000L))
       rows += FrontierRow(url, "www.wikidata.org", fam2, familyRank(fam2), pk2, e.priority, e.qid)
     }
     if (unit(mix(h, 4L)) < 0.05) { // URL near-duplicate variant
@@ -442,24 +485,32 @@ object World {
 
   def realImageName(h: Long): String = {
     val exts = Vector(".jpg", ".png", ".jpg", ".jpg", ".svg")
-    words(h, 2 + bounded(mix64(h), 3)).split(" ")
-      .map(_.capitalize).mkString("_") +
+    capWords(h, 2 + bounded(mix64(h), 3), '_') +
       "_" + bounded(mix(h, 70L), 9999) + exts(bounded(mix(h, 71L), exts.length))
   }
 
   /** Render a plan's blocks to the markup subset the parser consumes
     * (the synthetic stand-in for the rendered-HTML parse API, S8). */
   def renderMarkup(blocks: Seq[Block]): String = {
-    val sb = new StringBuilder("<body>")
-    blocks.foreach {
-      case TextBlock(name, text) => sb.append(s"<$name>$text</$name>")
-      case ListBlock(name, items) =>
-        sb.append(s"<$name>")
-        items.foreach(li => sb.append(s"<li>$li</li>"))
-        sb.append(s"</$name>")
-    }
+    val sb = new java.lang.StringBuilder(1024)
+    sb.append("<body>")
+    renderBlocksInto(sb, blocks)
     sb.append("</body>").toString
   }
+
+  /** [[renderMarkup]] body without the enclosing <body> tags — appends
+    * straight into the caller's builder (r6: the per-block s-interpolations
+    * each allocated an intermediate string before the append). */
+  private def renderBlocksInto(sb: java.lang.StringBuilder, blocks: Seq[Block]): Unit =
+    blocks.foreach {
+      case TextBlock(name, text) =>
+        sb.append('<').append(name).append('>').append(text)
+          .append("</").append(name).append('>')
+      case ListBlock(name, items) =>
+        sb.append('<').append(name).append('>')
+        items.foreach(li => sb.append("<li>").append(li).append("</li>"))
+        sb.append("</").append(name).append('>')
+    }
 
   /** Render one image's caption container (J7 marker shapes, mirrors the
     * MediaWiki structures of wikipedia_images.py:463-511). ~20% of hrefs
@@ -501,9 +552,17 @@ object World {
   /** The full rendered page: section blocks + image containers — ONE
     * document serving both the section parser and the caption matcher
     * (the reference's Phase-1b single-fetch shape). */
-  def renderPage(plan: PagePlan): String =
-    renderMarkup(plan.blocks).stripSuffix("</body>") +
-      plan.images.map(renderImageHtml(_, plan.lang)).mkString + "</body>"
+  def renderPage(plan: PagePlan): String = {
+    // r6: one builder for the whole page — the previous form rendered the
+    // block markup, copied it once to strip "</body>", built a Vector of
+    // per-image strings, joined them, and concatenated again (4 full-page
+    // copies per fetch)
+    val sb = new java.lang.StringBuilder(4096)
+    sb.append("<body>")
+    renderBlocksInto(sb, plan.blocks)
+    plan.images.foreach(ip => sb.append(renderImageHtml(ip, plan.lang)))
+    sb.append("</body>").toString
+  }
 
   /** Robots rules (FIXTURES.md F4): deterministic per (host, first path
     * letter): ~5% of (host, letter) buckets are disallowed. */
