@@ -29,12 +29,26 @@ object CrawlQueries {
   val sharedCfg: CrawlConfig = CrawlConfig(seed = 42L, nEntities = 400L,
     budgetPerHost = 64, saltBuckets = 4, maxTicks = 12, workDir = "")
 
+  /** Scratch dir for query-scaffolding state (merge stores, shared-crawl
+    * work dirs): tmpfs when available — the disk-backed /tmp write+commit
+    * round-trips were the dominant cost of the first timed q_merge_* call
+    * (measured 2.5 s vs 0.7 s build, 0.78 vs 0.29 s read-back). Same
+    * placement rule as CrawlRepMain.benchTmp; falls back to
+    * java.io.tmpdir when /dev/shm is absent. */
+  private[graft] def scratchTmp(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    Files.createTempDirectory(base, prefix).toString
+  }
+
   /** One full mini-crawl shared by the view queries below (memoized per
     * JVM: the world is deterministic, one crawl serves all views). */
   @volatile private var shared: Option[String] = None
   def sharedCrawl(spark: SparkSession): String = synchronized {
     shared.getOrElse {
-      val work = Files.createTempDirectory("graft-crawl-shared").toString
+      val work = scratchTmp("graft-crawl-shared")
       Crawl.run(spark, sharedCfg.copy(workDir = work))
       shared = Some(work)
       work
@@ -54,7 +68,7 @@ object CrawlQueries {
   def crawlTick(spark: SparkSession, dir: String): DataFrame = {
     val work = synchronized {
       tickWork.getOrElse {
-        val w = Files.createTempDirectory("graft-crawl-q").toString
+        val w = scratchTmp("graft-crawl-q")
         Crawl.run(spark, sharedCfg.copy(maxTicks = 2, workDir = w))
         tickWork = Some(w)
         w
@@ -262,8 +276,18 @@ object CrawlQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def mergeStoreDir(spark: SparkSession, dir: String): String = synchronized {
     mergeStores.getOrElseUpdate(dir, {
-      val store = Files.createTempDirectory("graft-merge-q").toString
-      (0 to 2).foreach(g => MergeStore.ingest(mergeGeneration(spark, dir, g), store))
+      val store = scratchTmp("graft-merge-q")
+      // r6: ONE partitioned write builds all three generations — the
+      // per-generation ingest loop ran three sequential write jobs (three
+      // scans of documents, three commit rounds) and the store build is
+      // paid INSIDE the first timed q_merge_* call at a fresh SF. The
+      // union is map-only (three filters of one scan), the on-disk layout
+      // (`store/gen=N/`) and the merged views are identical — the driver's
+      // oracle rows and MergeStoreSpec pin that.
+      (0 to 2).map(g => mergeGeneration(spark, dir, g).withColumn("gen", lit(g)))
+        .reduce(_ unionByName _)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("gen").parquet(store)
       store
     })
   }

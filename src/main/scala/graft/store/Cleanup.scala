@@ -73,7 +73,7 @@ object Cleanup {
   private def sharedImageStore(spark: SparkSession, dir: String): String =
     synchronized {
       stores.getOrElseUpdate(dir, {
-        val store = Files.createTempDirectory("graft-cleanup-q").toString
+        val store = graft.queries.CrawlQueries.scratchTmp("graft-cleanup-q")
         val threshold = minShared(t(spark, dir, "documents").count())
         MergeStore.ingest(seedGeneration(spark, dir), store)
         val merged = MergeStore.mergedView(spark, store,
