@@ -47,14 +47,14 @@ object PlanDumpR06 {
 
     // detached dedup ops: dump the pre-detach plan
     {
-      val (sigs, planned) =
+      val (caches, planned) =
         graft.ops.DedupOps.minhashPairsPlanned(spark, sfDir, 16, 4, 0.8)
-      dump("q_minhash_dedup", planned, Seq(sigs))
+      dump("q_minhash_dedup", planned, caches)
     }
     {
-      val (sigs, planned) =
+      val (caches, planned) =
         graft.ops.DedupOps.winnowPairsPlanned(spark, sfDir, 24, 16, 1, 32, 0.8)
-      dump("q_winnow_dedup", planned, Seq(sigs))
+      dump("q_winnow_dedup", planned, caches)
     }
     {
       val (docs, planned) =

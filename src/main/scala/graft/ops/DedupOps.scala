@@ -91,19 +91,19 @@ object DedupOps {
   def minhashPairs(spark: SparkSession, dir: String,
                    b: Int = 16, r: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
-    val (sigs, planned) = minhashPairsPlanned(spark, dir, b, r, threshold)
+    val (caches, planned) = minhashPairsPlanned(spark, dir, b, r, threshold)
     val out = detachSmall(planned)
-    sigs.unpersist() // free the big signature table
+    caches.foreach(_.unpersist()) // free the signature + band tables
     out
   }
 
-  /** The un-detached (sigs, pair-plan) pair — [[minhashPairs]] body,
+  /** The un-detached (caches, pair-plan) pair — [[minhashPairs]] body,
     * exposed so PlanSpec can assert the verify joins read the persisted
     * signature table (the detached public result is a local relation and
-    * no longer carries that plan). Caller must unpersist the sigs. */
+    * no longer carries that plan). Caller must unpersist the caches. */
   private[graft] def minhashPairsPlanned(
       spark: SparkSession, dir: String, b: Int, r: Int,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     // ONE shingle+signature pass per doc, persisted: band generation and
     // BOTH sides of the verify join reuse it. (Previously the shingle set
@@ -121,7 +121,12 @@ object DedupOps {
       .toDF("doc_id", "sh", "bandKeys")
       .persist()
 
+    // r6: persist the exploded band table too — it feeds BOTH sides of the
+    // band self-join, and unpersisted the planner duplicated the Generate
+    // over the sigs cache per side (the whole subtree above a cache is
+    // re-executed per occurrence; only (doc_id, bandKey) longs are cached)
     val banded = sigs.select($"doc_id", explode($"bandKeys").as("bandKey"))
+      .persist()
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("bandKey"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -134,7 +139,7 @@ object DedupOps {
       $"sh_a", $"sh_b")
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
-    (sigs, out)
+    (Seq(sigs, banded), out)
   }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -341,18 +346,18 @@ object DedupOps {
   def winnowPairs(spark: SparkSession, dir: String,
                   k: Int = 24, w: Int = 16, minShared: Int = 1,
                   maxDf: Int = 32, threshold: Double = 0.8): DataFrame = {
-    val (sigs, planned) =
+    val (caches, planned) =
       winnowPairsPlanned(spark, dir, k, w, minShared, maxDf, threshold)
     val out = detachSmall(planned)
-    sigs.unpersist()
+    caches.foreach(_.unpersist())
     out
   }
 
-  /** The un-detached (kernel cache, pair plan) — [[winnowPairs]] body,
+  /** The un-detached (kernel caches, pair plan) — [[winnowPairs]] body,
     * exposed for plan tooling. Caller unpersists. */
   private[graft] def winnowPairsPlanned(
       spark: SparkSession, dir: String, k: Int, w: Int, minShared: Int,
-      maxDf: Int, threshold: Double): (DataFrame, DataFrame) = {
+      maxDf: Int, threshold: Double): (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     // k = 24 chars (~4 vocab words): long enough that unrelated docs over
     // a small vocabulary rarely share a k-gram; shared runs ≥ w+k-1 = 39
@@ -374,7 +379,13 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= maxDf)
       .select($"fp")
-    val capped = inv.join(keptFps, Seq("fp"))
+    // r6: persist the PRUNED inverted index — it feeds both sides of the
+    // fingerprint self-join, and unpersisted the planner re-ran the
+    // explode AND the whole df-cap aggregation (its own exchange and
+    // broadcast) once per side. This is MOSS's "build the index once";
+    // the cache holds only (fp, doc_id) longs for df-capped prints, whose
+    // row count is bounded by maxDf × |kept prints|.
+    val capped = inv.join(keptFps, Seq("fp")).persist()
     val cand = capped.as("a").join(capped.as("b"), Seq("fp"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -387,7 +398,7 @@ object DedupOps {
       $"sh_a", $"sh_b")
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
-    (sigs, out)
+    (Seq(sigs, capped), out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,14 +55,14 @@ class PlanSpec extends AnyFunSuite {
     // a detached local relation (caches released — see the OpsSpec
     // no-persist-leak test), so the join plan is inspected via the
     // package-private hook.
-    val (sigs, planned) = graft.ops.DedupOps.minhashPairsPlanned(
+    val (caches, planned) = graft.ops.DedupOps.minhashPairsPlanned(
       SparkTestSession.spark, SparkTestSession.sf0001, 16, 4, 0.8)
     try {
       val p = planned.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
         s"signature table must be persisted:\n$p")
-    } finally sigs.unpersist()
+    } finally caches.foreach(_.unpersist())
     // and the public result IS detached: a local relation with no lineage
     val pub = plan("q_minhash_dedup")
     assert(pub.contains("LocalTableScan"), s"expected detached result:\n$pub")
