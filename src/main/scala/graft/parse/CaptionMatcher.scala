@@ -29,9 +29,12 @@ import graft.parse.MiniDom.Node
 object CaptionMatcher {
 
   /** URL-decode that tolerates malformed escapes (urllib.parse.unquote
-    * never throws; bad sequences pass through). */
+    * never throws; bad sequences pass through). Fast path (r6): a string
+    * with no '%' and no '+' decodes to itself — skip the decoder (this
+    * runs once per wrapped img per page). */
   private def softDecode(s: String): String =
-    try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    if (s.indexOf('%') < 0 && s.indexOf('+') < 0) s
+    else try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
     catch { case _: Exception => s }
 
   /** One tree walk per PAGE: every `<img>` in document order with its
@@ -58,15 +61,19 @@ object CaptionMatcher {
     /** The reference's matches_img over imgs in document order: a wrapped
       * img matches by decoded-href suffix; an unwrapped one by src/alt
       * substring (wikipedia_images.py:434-448). */
-    private[CaptionMatcher] def findImg(f: String, fu: String): Option[Node] =
+    private[CaptionMatcher] def findImg(f: String, fu: String): Option[Node] = {
+      // suffix keys hoisted out of the scan (r6: were rebuilt per img row)
+      val cf = ":" + f
+      val cfu = ":" + fu
       imgs.collectFirst {
         case (n, href, src, alt)
             if (if (href != null)
-                  href.endsWith(":" + f) || href.endsWith(":" + fu)
+                  href.endsWith(cf) || href.endsWith(cfu)
                 else
                   src.contains(f) || alt.contains(f) ||
                     src.contains(fu) || alt.contains(fu)) => n
       }
+    }
   }
 
   def index(html: String): PageIndex = new PageIndex(MiniDom.parse(html))

@@ -517,35 +517,56 @@ object World {
     * are percent-encoded (the matcher must URL-decode before comparing);
     * frwiki pages use the `Fichier:` namespace. */
   def renderImageHtml(ip: ImagePlan, lang: String): String = {
-    if (ip.shape == "none") return ""
+    val sb = new java.lang.StringBuilder(256)
+    renderImageHtmlInto(sb, ip, lang)
+    sb.toString
+  }
+
+  /** [[renderImageHtml]] appended straight into the page builder (r6: the
+    * interpolated form allocated 3-5 intermediate strings per image). */
+  private def renderImageHtmlInto(sb: java.lang.StringBuilder,
+                                  ip: ImagePlan, lang: String): Unit = {
+    if (ip.shape == "none") return
     val name = ip.url.substring(ip.url.lastIndexOf('/') + 1)
     val h = mix(hashStr(name), 0x1A6EL)
     val encName = if (unit(mix(h, 75L)) < 0.20) name.replace("_", "%5F") else name
     val prefix = if (lang == "fr") "Fichier" else "File"
-    val a = s"""<a class="mw-file-description" href="/wiki/$prefix:$encName">""" +
-      s"""<img src="${ip.url}"/></a>"""
+    def a(): Unit =
+      sb.append("""<a class="mw-file-description" href="/wiki/""")
+        .append(prefix).append(':').append(encName)
+        .append(""""><img src="""").append(ip.url).append(""""/></a>""")
     val cap = ip.renderedCaption
     ip.shape match {
       case "figure" =>
-        s"""<figure typeof="mw:File/Thumb">$a<figcaption>$cap</figcaption></figure>"""
+        sb.append("""<figure typeof="mw:File/Thumb">"""); a()
+        sb.append("<figcaption>").append(cap).append("</figcaption></figure>")
       case "gallerybox" =>
         // img sits in an inner class=thumb WITHOUT a thumbcaption: the
         // matcher must keep walking up to the gallerybox (the reference's
         // explicit non-definitive thumb case, wikipedia_images.py:484-485)
-        s"""<ul class="gallery"><li class="gallerybox"><div class="thumb">$a</div>""" +
-          s"""<div class="gallerytext">$cap</div></li></ul>"""
+        sb.append("""<ul class="gallery"><li class="gallerybox"><div class="thumb">""")
+        a()
+        sb.append("""</div><div class="gallerytext">""").append(cap)
+          .append("</div></li></ul>")
       case "thumb" =>
-        s"""<div class="thumb tright"><div class="thumbinner">$a""" +
-          s"""<div class="thumbcaption">$cap</div></div></div>"""
+        sb.append("""<div class="thumb tright"><div class="thumbinner">"""); a()
+        sb.append("""<div class="thumbcaption">""").append(cap)
+          .append("</div></div></div>")
       case "infobox" =>
-        if (bounded(mix(h, 76L), 2) == 0)
-          s"""<table class="infobox"><tr><td class="infobox-image">$a""" +
-            s"""<div class="infobox-caption">$cap</div></td></tr></table>"""
-        else // caption on the NEXT table row (the tr-sibling path, :495-503)
-          s"""<table class="infobox"><tr><td class="infobox-image">$a</td></tr>""" +
-            s"""<tr><td><div class="infobox-caption">$cap</div></td></tr></table>"""
+        if (bounded(mix(h, 76L), 2) == 0) {
+          sb.append("""<table class="infobox"><tr><td class="infobox-image">""")
+          a()
+          sb.append("""<div class="infobox-caption">""").append(cap)
+            .append("</div></td></tr></table>")
+        } else { // caption on the NEXT table row (the tr-sibling path, :495-503)
+          sb.append("""<table class="infobox"><tr><td class="infobox-image">""")
+          a()
+          sb.append("""</td></tr><tr><td><div class="infobox-caption">""")
+            .append(cap).append("</div></td></tr></table>")
+        }
       case "legend" => // frwiki infobox shape: caption in a SIBLING div
-        s"""<div class="images">$a</div><div class="legend">$cap</div>"""
+        sb.append("""<div class="images">"""); a()
+        sb.append("""</div><div class="legend">""").append(cap).append("</div>")
     }
   }
 
@@ -560,7 +581,7 @@ object World {
     val sb = new java.lang.StringBuilder(4096)
     sb.append("<body>")
     renderBlocksInto(sb, plan.blocks)
-    plan.images.foreach(ip => sb.append(renderImageHtml(ip, plan.lang)))
+    plan.images.foreach(ip => renderImageHtmlInto(sb, ip, plan.lang))
     sb.append("</body>").toString
   }
 
