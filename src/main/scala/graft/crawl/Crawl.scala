@@ -157,8 +157,17 @@ object Crawl {
         concat(lit("https://"), $"host", lit("/wiki/"),
           url_encode(translate($"title", " ", "_")))))
       .withColumn("docId", concat($"qid", lit(":"), $"lang"))
-      .withColumn("sortKey", format_string("%01d|%02d|%s|%02d|%s",
-        lit(9) - $"priority", $"familyRank", $"pk", $"langRank", $"qid"))
+      // byte-identical to format_string("%01d|%02d|%s|%02d|%s", ...): the
+      // ranks are bounded (families 20, langs 12) so lpad-2 ≡ %02d and
+      // 9-priority ∈ [0,9] needs no padding; concat+lpad stay in codegen
+      // while FormatString span a java.util.Formatter per ROW (r6 —
+      // measured as a visible slice of the candidate-synthesis stages)
+      .withColumn("sortKey", concat(
+        (lit(9) - $"priority").cast("string"), lit("|"),
+        lpad($"familyRank".cast("string"), 2, "0"), lit("|"),
+        $"pk", lit("|"),
+        lpad($"langRank".cast("string"), 2, "0"), lit("|"),
+        $"qid"))
 
     // robots gate (C3/F4): tiny rules dimension, broadcast join
     val robots = robotsDim(spark, cfg.seed)

@@ -18,9 +18,17 @@ object MiniDom {
     val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
     var text: String = "" // text nodes only
 
-    def classes: Set[String] =
-      attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty)
+    // computed once per node (r6): the caption matcher's ancestor walk and
+    // container probes re-read classes per visit, and the split+toSet
+    // allocated each time
+    private var _classes: Set[String] = null
+    def classes: Set[String] = {
+      if (_classes == null)
+        _classes = attrs.get("class")
+          .map(_.split("\\s+").filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+      _classes
+    }
 
     def isElement: Boolean = tag.nonEmpty
 
