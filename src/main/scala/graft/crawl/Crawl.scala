@@ -328,11 +328,16 @@ object Crawl {
     // by the SHUFFLE INPUT size — but fetch+parse expands each row ~100×,
     // so AQE under-provisions the stage (measured: 8 tasks on 16 cores,
     // half the machine idle). A user-specified count is respected by AQE;
-    // 3× parallelism keeps the longest task ≪ stage wall (stragglers).
+    // 6× parallelism keeps the longest task ≪ stage wall (stragglers) —
+    // r6: raised from 3× after measuring ~19 s tasks at 4 cores, long
+    // enough that one ambient-contention spike on a late task extended
+    // the whole stage (A/B on the 491k-URL rep: 4-core 56.9 → 47.7-49.2 s,
+    // 1-core 166.8 → 161.4 s; still parameterized by defaultParallelism,
+    // so a 32-core bench session gets 192 ~0.3 s tasks, not a constant).
     // A5/A6 metrics via observe(): the aggregates are computed DURING the
     // write job — no second pass over the (span-heavy) parquet
     val obs = new org.apache.spark.sql.Observation(s"tick_$tickIdx")
-    val fetchPartitions = spark.sparkContext.defaultParallelism * 3
+    val fetchPartitions = spark.sparkContext.defaultParallelism * 6
     val perPartitionInterval =
       if (cfg.maxRps > 0) (fetchPartitions.toDouble / cfg.maxRps * 1e9).toLong
       else 0L
