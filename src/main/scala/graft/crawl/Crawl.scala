@@ -178,22 +178,36 @@ object Crawl {
       .drop("letter", "allowed")
 
     // distinct canonical URL: colliding titles (two qids, same page) keep
-    // the first unit in crawl order — deterministic. The window partitions
-    // by (host, salt, url) — identical groups to (url), since url
-    // determines host and salt — under an EXPLICIT hash(host, salt)
-    // exchange: (host, salt) clusters (host, salt, url) too (subset rule),
-    // and the SAME exchange then satisfies the politeness window in
-    // selectBatch, which needs only an extra sort. One full-row shuffle
-    // instead of two.
-    val wUrl = Window.partitionBy($"host", $"salt", $"url").orderBy($"sortKey".asc)
+    // the first unit in crawl order — deterministic. Groups are
+    // (host, salt, url) — identical to (url), since url determines host
+    // and salt — under an EXPLICIT hash(host, salt) exchange: (host, salt)
+    // clusters (host, salt, url) too (subset rule), and the SAME exchange
+    // then satisfies the politeness window in selectBatch. One full-row
+    // shuffle instead of two.
+    // r6 (same rewrite as the relational keep-first operators): keep-first
+    // is min over struct(sortKey, carried...) — the struct leads with the
+    // old window's order key, so the selected unit is identical (ties
+    // beyond sortKey are the canonical-URL variants, identical in every
+    // carried column; the struct tiebreak just makes the pick
+    // deterministic where row_number was arbitrary). The window form
+    // sorted the full candidate set by (host, salt, url, sortKey) before
+    // the politeness sort; the aggregation never sorts — the politeness
+    // window's (host, salt, sortKey) sort is now the pipeline's ONLY full
+    // sort. CrawlEqualitySpec re-verifies batch composition against the
+    // single-threaded oracle.
     allowed
       .withColumn("salt",
         pmod(xxhash64($"url"), lit(cfg.saltBuckets)).cast("int"))
       .repartition($"host", $"salt")
-      .withColumn("rn", row_number().over(wUrl))
-      .filter($"rn" === 1)
-      .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
-        $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
+      .groupBy($"host", $"salt", $"url")
+      .agg(min(struct($"sortKey", $"qid", $"lang", $"langRank", $"family",
+        $"familyRank", $"pk", $"priority", $"title", $"docId")).as("__first"))
+      .select($"__first.qid".as("qid"), $"__first.lang".as("lang"),
+        $"__first.langRank".as("langRank"), $"__first.family".as("family"),
+        $"__first.familyRank".as("familyRank"), $"__first.pk".as("pk"),
+        $"__first.priority".as("priority"), $"__first.title".as("title"),
+        $"url", $"host", $"__first.docId".as("docId"),
+        $"__first.sortKey".as("sortKey"), $"salt")
       .as[CrawlUnit]
   }
 
