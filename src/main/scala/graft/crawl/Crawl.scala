@@ -320,10 +320,16 @@ object Crawl {
 
     // NOT cached: the batch has exactly one consumer (the fetch+parse+write
     // job below) — a cache here is a pure memory-store write of the full
-    // batch inside the hot job (and at 10^10 URLs, an eviction storm)
+    // batch inside the hot job (and at 10^10 URLs, an eviction storm).
+    // r6: project to the EIGHT columns the fetch worker actually consumes
+    // (guide §2.3 "project before the exchange") — the full CrawlUnit
+    // shipped langRank/familyRank/pk/priority/docId through the fetch
+    // repartition AND deserialized all 13 fields per row (5 string
+    // conversions per URL for columns the worker never reads; docId is
+    // recomputed inside fetchParse)
     val batch = selectBatch(fresh, cfg.budgetPerHost, cfg.saltBuckets)
-      .select($"qid", $"lang", $"langRank", $"family", $"familyRank", $"pk",
-        $"priority", $"title", $"url", $"host", $"docId", $"sortKey", $"salt")
+      .select($"qid", $"lang", $"family", $"title", $"url", $"host",
+        $"sortKey", $"salt")
 
     val seed = cfg.seed
     // fetch+parse on executors; pure fn of the unit → identical at any
@@ -357,7 +363,7 @@ object Crawl {
       else 0L
     phase(s"tick=$tickIdx fetch+parse+write") { batch
       .repartition(fetchPartitions, $"url")
-      .as[CrawlUnit]
+      .as[FetchUnit]
       .mapPartitions { it =>
         // C2 min-interval limiter, partition-local share of the global cap
         var nextAllowed = 0L
@@ -646,6 +652,12 @@ object Crawl {
       .mergeDelta(spark.table(table), delta, Seq("doc_id"))
       .as[Doc]
   }
+
+  /** The fetch worker's input row — the 8-column projection of a
+    * [[CrawlUnit]] the fetch stage shuffles and deserializes (r6). */
+  final case class FetchUnit(
+      qid: String, lang: String, family: String, title: String,
+      url: String, host: String, sortKey: String, salt: Int)
 
   final case class SectionRow(display_order: Int, title: String)
 
