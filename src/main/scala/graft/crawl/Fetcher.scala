@@ -79,26 +79,37 @@ object Fetcher {
       else None
 
     // gallery: chrome (P4) + non-image mime (P6, wikipedia_images.py:370-371)
-    // filtered BEFORE numbering
-    val gallery = plan.images
-      .filterNot(ip => UiChrome.isUiChromeFile(ip.fileTitle))
-      .filter(_.mime.startsWith("image/"))
-      .zipWithIndex.map { case (ip, idx) => (idx + 1, ip) }
+    // filtered BEFORE numbering. r6: one pass builds the numbered gallery
+    // WITH its URL-derived filename (was: two filter passes + the filename
+    // substring computed twice per image — for the lookup list and again
+    // for the span)
+    def fileNameOf(url: String) = url.substring(url.lastIndexOf('/') + 1)
+    val gallery = {
+      val b = Vector.newBuilder[(Int, World.ImagePlan, String)]
+      var ord = 0
+      plan.images.foreach { ip =>
+        if (ip.mime.startsWith("image/") &&
+            !UiChrome.isUiChromeFile(ip.fileTitle)) {
+          ord += 1
+          b += ((ord, ip, fileNameOf(ip.url)))
+        }
+      }
+      b.result()
+    }
 
     // J7 — captions extracted from the rendered HTML by the ancestor-walk
     // matcher (wikipedia_images.py:409-515), keyed by the URL-derived
-    // filename; ONE DOM parse per page answers every gallery lookup
-    def fileNameOf(url: String) = url.substring(url.lastIndexOf('/') + 1)
-    val galleryNames = gallery.map { case (_, ip) => fileNameOf(ip.url) }.distinct
+    // filename; ONE DOM parse per page answers every gallery lookup.
     // no gallery → nothing to look up (the DOM already exists for sections)
+    val galleryNames = gallery.map(_._3).distinct
     val captions =
       if (galleryNames.isEmpty) Map.empty[String, String]
       else graft.parse.CaptionMatcher.captionsForDom(dom, galleryNames)
 
     val spans =
       sections.map { case (ord, _, content) => Span("section", content, "", ord) } ++
-      gallery.map { case (ord, ip) =>
-        Span("image", captions.getOrElse(fileNameOf(ip.url), ""), ip.url, ord) }
+      gallery.map { case (ord, ip, fn) =>
+        Span("image", captions.getOrElse(fn, ""), ip.url, ord) }
 
     ParsedPage(
       FetchResult(docId, url, host, status, success = true, hasContent = true,
