@@ -138,13 +138,19 @@ object Crawl {
     //  - a broadcast here instead would serialize a DRIVER collect+build
     //    of the full sitelink dim — measured 2-4 s of serial time per run
     //    that the co-partitioned join turns into parallel work.
-    val wSite = Window.partitionBy($"qid", $"lang").orderBy($"title".asc)
+    // r6 (the keep-first agg rewrite, same as the URL dedup below): min
+    // title per (qid, lang) via min(struct(title, langRank)) — langRank is
+    // determined by lang, so the struct tiebreak is never reached and the
+    // selected row is the old window's rn=1. SortAggregate sorts by the
+    // two group keys instead of (qid, lang, title) and reports its output
+    // ordering, so the downstream qid merge join still needs no sort.
     val sitelinks = spark.range(from, until, 1, genParts)
       .flatMap(i => World.sitelinkRows(cfg.seed, i))
       .repartition($"qid")
-      .withColumn("rn", row_number().over(wSite))
-      .filter($"rn" === 1)
-      .drop("rn")
+      .groupBy($"qid", $"lang")
+      .agg(min(struct($"title", $"langRank")).as("__first"))
+      .select($"qid", $"lang", $"__first.langRank".as("langRank"),
+        $"__first.title".as("title"))
 
     val units = deduped
       .hint("merge")
