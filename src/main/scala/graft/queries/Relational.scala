@@ -56,13 +56,15 @@ object Relational {
     *
     * r6 optimization (guide §2.3 "aggregate before you shuffle"): the
     * row_number window (Sort → WindowGroupLimit → Exchange → Sort → Window)
-    * becomes ONE hash aggregation — min over struct(ts, event_id,
-    * event_type) is the lexicographically-first row under EXACTLY the old
-    * window order (ts asc, event_id asc; event_id is unique in the events
-    * table — RelationalSpec pins it — so the event_type field is never
-    * reached as a comparator). Partial map-side min collapses each
-    * partition to ≤ |users| rows BEFORE the exchange and both sorts
-    * disappear; result is row-identical (same DuckDB oracle). */
+    * becomes ONE aggregation — min over struct(ts, event_id, event_type)
+    * is the lexicographically-first row under EXACTLY the old window order
+    * (ts asc, event_id asc; event_id is unique in the events table —
+    * RelationalSpec pins it — so the event_type field is never reached as
+    * a comparator). The partial map-side min collapses each partition to
+    * ≤ |users| rows BEFORE the exchange and the Window machinery is gone;
+    * struct buffers plan as SortAggregate, so the remaining local sort is
+    * on the group key alone instead of the full window order. Result is
+    * row-identical (same DuckDB oracle). */
   def precedenceDedup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy($"user_id")
@@ -75,13 +77,14 @@ object Relational {
     * replaces the reference's self-join against MAX(ID_ROW).
     *
     * r6 optimization (guide §2.3): the row_number-desc window becomes ONE
-    * hash aggregation — max over struct(l_linenumber, l_partkey,
-    * l_suppkey) selects the lexicographic max, which is exactly the rn=1
-    * row of the old (desc, desc, desc) window; the projection only reads
-    * the sort columns, so even a full three-way tie projects identically.
-    * The old plan locally sorted all 600k rows, shuffled the per-partition
-    * survivors, and sorted again; the agg shuffles only map-side partial
-    * maxima (≤ |keys| rows per map task) and never sorts. */
+    * aggregation — max over struct(l_linenumber, l_partkey, l_suppkey)
+    * selects the lexicographic max, which is exactly the rn=1 row of the
+    * old (desc, desc, desc) window; the projection only reads the sort
+    * columns, so even a full three-way tie projects identically. The old
+    * plan sorted all 600k rows by the 4-key window order, shuffled the
+    * per-partition survivors, and sorted again; the agg shuffles only
+    * map-side partial maxima (≤ |keys| rows per map task) and its
+    * SortAggregate sorts by the group key alone. */
   def keepLatest(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy($"l_orderkey")

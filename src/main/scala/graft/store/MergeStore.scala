@@ -63,9 +63,10 @@ object MergeStore {
     // — max over struct(gen, value...) is the latest generation's row (gen
     // leads the struct and is unique per key within a store, the ingest
     // contract; the value fields are never reached as comparators). The
-    // window plan locally sorted the full store, shuffled it, and sorted
-    // again; the aggregation shuffles only map-side partial maxima and
-    // never sorts. Output columns/rows identical (same DuckDB oracle).
+    // window plan locally sorted the full store by the window order,
+    // shuffled it, and sorted again; the aggregation shuffles only
+    // map-side partial maxima and its SortAggregate sorts by the group
+    // key alone. Output columns/rows identical (same DuckDB oracle).
     // Guarded on orderable value types — max(struct) needs an ordering.
     import org.apache.spark.sql.types._
     def orderable(dt: DataType): Boolean = dt match {
